@@ -1,0 +1,112 @@
+"""Benchmark: batched subset Gauss-Newton solve throughput.
+
+Prints one JSON line:
+  {"metric": "subset_gn_solves_per_s", "value": N, "unit": "solves/s",
+   "vs_baseline": N / 1e5}
+
+The workload is BASELINE.json config 2/5 shaped: a dense grid of 21x21-pixel
+subsets, 6-parameter affine warp, bicubic interpolation, 3-level pyramid,
+fixed realistic iteration count.  "One solve" = one subset's complete
+coarse-to-fine LM solve.  Baseline target: 1e5 solves/s (BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_problem(num_subsets: int, img_hw: int = 1024, half: int = 10,
+                  stop: int = 2):
+    import jax.numpy as jnp
+
+    from correlation_tpu.config import (
+        FittingModel,
+        Interpolation,
+        PyramidConfig,
+        SolverConfig,
+    )
+    from correlation_tpu.domains import make_batch
+    from correlation_tpu.ops.pyramid import build_pyramid
+
+    rng = np.random.default_rng(0)
+    # Smooth speckle-ish texture: blurred noise, quantized to uint8 values.
+    base = rng.uniform(0, 255, (img_hw + 8, img_hw + 8))
+    k = np.ones(5) / 5.0
+    base = np.apply_along_axis(
+        lambda r: np.convolve(r, k, mode="same"), 0, base
+    )
+    base = np.apply_along_axis(
+        lambda r: np.convolve(r, k, mode="same"), 1, base
+    )
+    und = np.floor(base[4 : img_hw + 4, 4 : img_hw + 4] * 2.0 % 255.0)
+    dfm = np.floor(base[3 : img_hw + 3, 4 : img_hw + 4] * 2.0 % 255.0)
+
+    cfg = SolverConfig(
+        model=FittingModel.AFFINE,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, stop),
+        max_iterations=8,
+        precision=1e-12,  # force the full iteration budget: fixed work
+    )
+    side = int(np.ceil(np.sqrt(num_subsets)))
+    margin = 4 * half
+    coords = np.linspace(margin, img_hw - margin, side)
+    centers = []
+    for cy in coords:
+        for cx in coords:
+            centers.append((int(cx), int(cy)))
+            if len(centers) == num_subsets:
+                break
+        if len(centers) == num_subsets:
+            break
+    pts = []
+    for cx, cy in centers:
+        gx, gy = np.meshgrid(
+            np.arange(cx - half, cx + half + 1),
+            np.arange(cy - half, cy + half + 1),
+            indexing="ij",
+        )
+        pts.append(np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32))
+    batch = make_batch(pts, np.array(centers, np.float32), stop)
+    und_pyr = build_pyramid(jnp.asarray(und[..., None], jnp.float32), stop)
+    def_pyr = build_pyramid(jnp.asarray(dfm[..., None], jnp.float32), stop)
+    params0 = np.zeros((num_subsets, cfg.num_params), np.float32)
+    return cfg, und_pyr, def_pyr, batch, params0
+
+
+def main():
+    import jax
+
+    from correlation_tpu.engine import correlate
+
+    num_subsets = 4096
+    cfg, und_pyr, def_pyr, batch, params0 = build_problem(num_subsets)
+
+    def run():
+        res = correlate(cfg, und_pyr, def_pyr, batch, params0)
+        jax.block_until_ready(res.params)
+        return res
+
+    run()  # warmup / compile
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+
+    solves_per_s = num_subsets / dt
+    print(
+        json.dumps(
+            {
+                "metric": "subset_gn_solves_per_s",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / 1e5, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

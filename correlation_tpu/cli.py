@@ -1,0 +1,201 @@
+"""Headless command-line driver — the batch analog of the reference GUI.
+
+Replaces the Qt GUI + AUTO_PILOT scripted runs (mainapp.cpp:228-267,
+defines.hpp:21) with a CLI: image globs in, CSV report out.
+
+Example:
+  python -m correlation_tpu.cli frames/*.png \
+      --domain rect --rect 100 100 400 400 --subdivisions 4 4 \
+      --model affine --interp bicubic --pyramid 0 1 2 \
+      --report out.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from correlation_tpu.config import (
+    DeformationDescription,
+    ErrorMode,
+    FittingModel,
+    Interpolation,
+    PyramidConfig,
+    ReferenceImage,
+    SolverConfig,
+)
+from correlation_tpu import domains
+from correlation_tpu.io import FramePrefetcher
+from correlation_tpu.report import write_report
+from correlation_tpu.sequence import SequenceConfig, run_sequence
+
+_MODELS = {
+    "u": FittingModel.U,
+    "uv": FittingModel.UV,
+    "uvq": FittingModel.UVQ,
+    "affine": FittingModel.AFFINE,
+}
+_INTERPS = {
+    "nearest": Interpolation.NEAREST,
+    "bilinear": Interpolation.BILINEAR,
+    "bicubic": Interpolation.BICUBIC,
+}
+_DEFORM = {
+    "eulerian": DeformationDescription.EULERIAN,
+    "lagrangian": DeformationDescription.LAGRANGIAN,
+    "strict-lagrangian": DeformationDescription.STRICT_LAGRANGIAN,
+}
+_REF = {
+    "first": ReferenceImage.FIRST,
+    "previous": ReferenceImage.PREVIOUS,
+}
+_ERRMODE = {
+    "stop-all": ErrorMode.STOP_ALL,
+    "stop-frame": ErrorMode.STOP_FRAME,
+    "continue": ErrorMode.CONTINUE,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="correlation_tpu",
+        description="TPU-native batched digital image correlation",
+    )
+    ap.add_argument("images", nargs="+", help="ordered frame files")
+    ap.add_argument("--domain", choices=["rect", "annular", "blob"],
+                    default="rect")
+    ap.add_argument("--rect", nargs=4, type=float,
+                    metavar=("X0", "Y0", "X1", "Y1"))
+    ap.add_argument("--subdivisions", nargs=2, type=int, default=[1, 1],
+                    metavar=("HS", "VS"))
+    ap.add_argument("--annulus", nargs=4, type=float,
+                    metavar=("CX", "CY", "RI", "RO"))
+    ap.add_argument("--annular-subdivisions", nargs=2, type=int,
+                    default=[1, 1], metavar=("RS", "AS"))
+    ap.add_argument("--blob", type=str,
+                    help="CSV file of contour x,y rows")
+    ap.add_argument("--model", choices=sorted(_MODELS), default="affine")
+    ap.add_argument("--interp", choices=sorted(_INTERPS), default="bicubic")
+    ap.add_argument("--pyramid", nargs=3, type=int, default=[0, 1, 2],
+                    metavar=("START", "STEP", "STOP"))
+    ap.add_argument("--max-iters", type=int, default=50)
+    ap.add_argument("--precision", type=float, default=1e-3)
+    ap.add_argument("--guess", nargs="*", type=float,
+                    help="global initial guess parameters")
+    ap.add_argument("--deformation", choices=sorted(_DEFORM),
+                    default="eulerian")
+    ap.add_argument("--reference", choices=sorted(_REF), default="first")
+    ap.add_argument("--error-mode", choices=sorted(_ERRMODE),
+                    default="continue")
+    ap.add_argument("--color", action="store_true",
+                    help="correlate RGB instead of monochrome")
+    ap.add_argument("--report", type=str, default="-",
+                    help="report CSV path ('-' = stdout)")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    solver = SolverConfig(
+        model=_MODELS[args.model],
+        interpolation=_INTERPS[args.interp],
+        pyramid=PyramidConfig(*args.pyramid),
+        max_iterations=args.max_iters,
+        precision=args.precision,
+    )
+    cfg = SequenceConfig(
+        solver=solver,
+        deformation=_DEFORM[args.deformation],
+        reference=_REF[args.reference],
+        error_mode=_ERRMODE[args.error_mode],
+    )
+    stop = solver.pyramid.stop
+
+    centers = None
+    global_center = None
+    if args.domain == "rect":
+        if not args.rect:
+            print("--rect required for rectangular domains", file=sys.stderr)
+            return 2
+        dom = domains.RectangularDomain(
+            *args.rect,
+            horizontal_subdivisions=args.subdivisions[0],
+            vertical_subdivisions=args.subdivisions[1],
+        )
+        cs, xdim, ydim = domains.rectangular_sectors(dom)
+        point_lists = [
+            domains.rectangular_points(int(c[0]), int(c[1]), xdim, ydim)
+            for c in cs
+        ]
+        centers = cs
+        global_center = np.array([dom.x_center, dom.y_center], np.float32)
+    elif args.domain == "annular":
+        if not args.annulus:
+            print("--annulus required", file=sys.stderr)
+            return 2
+        cx, cy, ri, ro = args.annulus
+        dom = domains.AnnularDomain(
+            cx, cy, ri, ro,
+            radial_subdivisions=args.annular_subdivisions[0],
+            angular_subdivisions=args.annular_subdivisions[1],
+        )
+        batch0 = domains.annular_batch(dom, 0)
+        point_lists = [
+            batch0.xy[0][i][batch0.mask[0][i]]
+            for i in range(batch0.num_subsets)
+        ]
+        global_center = np.array([cx, cy], np.float32)
+    else:
+        if not args.blob:
+            print("--blob required", file=sys.stderr)
+            return 2
+        contour = np.loadtxt(args.blob, delimiter=",").reshape(-1, 2)
+        dom = domains.BlobDomain(contour)
+        batch0 = domains.blob_batch(dom, 0)
+        point_lists = [batch0.xy[0][0][batch0.mask[0][0]]]
+        global_center = np.array(
+            [dom.x_center, dom.y_center], np.float32
+        )
+
+    prefetcher = FramePrefetcher(args.images, monochrome=not args.color)
+    frames = [prefetcher.get(i) for i in range(len(args.images))]
+    prefetcher.close()
+
+    guess = (
+        np.asarray(args.guess, np.float32)
+        if args.guess
+        else np.zeros(solver.num_params, np.float32)
+    )
+    if len(guess) != solver.num_params:
+        print(
+            f"--guess needs {solver.num_params} values for {args.model}",
+            file=sys.stderr,
+        )
+        return 2
+
+    records = run_sequence(
+        frames,
+        point_lists,
+        cfg,
+        global_guess=guess,
+        centers=centers,
+        global_center=global_center,
+    )
+    csv = write_report(
+        records,
+        file_names=args.images,
+        reference_first=cfg.reference == ReferenceImage.FIRST,
+    )
+    if args.report == "-":
+        sys.stdout.write(csv)
+    else:
+        with open(args.report, "w") as f:
+            f.write(csv)
+        print(f"wrote {args.report} ({len(records)} frame pairs)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,404 @@
+"""Batched coarse-to-fine Levenberg-Marquardt Gauss-Newton solver.
+
+This is the TPU-native replacement for the whole solver stack of the
+reference: CorrelationClass::Newton_Raphson (correlation_class.cpp:349-640),
+the CUDA driver CudaClass::correlate (cuda_class.cu:104-293), and the
+serial per-sector dispatch in managerClass (manager_class.cpp:304-547).
+
+Design shift: the reference solves ONE sector at a time with parallelism over
+pixels inside the sector; here ALL subsets solve simultaneously as a leading
+batch axis [S], and the per-subset divergent control flow (individual lambda
+schedules, convergence iterations, the saved-parameter reuse trick) runs as a
+masked lax.while_loop over phase-tagged per-subset state.  Each while step
+performs exactly one normal-equation assembly for every still-active subset,
+so total assembly work matches the reference iteration-for-iteration:
+
+  reference iteration            while-loop steps
+  ---------------------          -------------------------------------------
+  converging (use_saved)    ->   1 step  (EVAL at the saved parameters)
+  diverging  (recompute)    ->   2 steps (RECOMPUTE at last-good, then EVAL)
+
+Reference semantics replicated exactly (correlation_class.cpp:349-640):
+  * lambda schedule: start 1e-4, x0.4 on success / x10 on failure,
+    clamped to [1e-9, 1e9],
+  * the "saved parameter" optimization: the update for the *next* step is
+    computed from the same assembly as the chi evaluation and reused only if
+    the step converged (comments at correlation_class.cpp:432-436, 455-499),
+  * delta-chi stopping: |last_good - chi| / (max(last_good, chi) + precision),
+  * the returned parameters are the final *saved* set (tentative + one more
+    damped GN update), not the last-good set — matching the reference's
+    model_parameters bookkeeping,
+  * per-level translation of u, v by powers of two,
+  * error semantics: an out-of-image sample during a level's *initial*
+    assembly aborts the subset entirely (params returned translated to level
+    0, chi = FLT_MAX — correlation_class.cpp:413-419); an error during
+    iterations abandons the level but continues with the next
+    (correlation_class.cpp:484-516).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from correlation_tpu.config import (
+    ErrorCode,
+    FittingModel,
+    Interpolation,
+    SolverConfig,
+)
+from correlation_tpu.models.warp import translate_params
+from correlation_tpu.ops.assemble import assemble_normal_equations
+from correlation_tpu.ops.interp import (
+    InterpField,
+    precompute_field,
+    sample_integer,
+)
+from correlation_tpu.ops.solve import lm_delta
+
+_FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+# Phase tags for the while-loop state machine.
+_EVAL = 0  # assemble at the tentative parameters, compare chi
+_RECOMPUTE = 1  # re-assemble at last-good to rebuild the tentative step
+
+
+class LevelArrays(NamedTuple):
+    """Per-pyramid-level solver inputs for a subset batch."""
+
+    xy: jax.Array  # [S, P_l, 2]
+    mask: jax.Array  # [S, P_l] bool
+    center: jax.Array  # [S, 2]
+    und_w: jax.Array  # [S, P_l, C]
+    def_field: InterpField
+    n_points: jax.Array  # [S] float32
+
+
+class LevelResult(NamedTuple):
+    params: jax.Array  # [S, NP] the reference's model_parameters at exit
+    last_good_chi: jax.Array  # [S]
+    reached: jax.Array  # [S] int32 completed iterations
+    error: jax.Array  # [S] int32 ErrorCode for this level
+    init_fail: jax.Array  # [S] bool — initial assembly failed
+
+
+class CorrelationResult(NamedTuple):
+    """Final per-subset outputs (the analog of CorrelationResult in
+    domains.hpp:110-118 plus frame_results fields)."""
+
+    params: jax.Array  # [S, NP] at level-0 scale
+    chi: jax.Array  # [S] last-good chi of the finest level solved
+    iterations: jax.Array  # [S] int32
+    error: jax.Array  # [S] int32 ErrorCode
+    center: jax.Array  # [S, 2] undeformed centers (level 0)
+    n_points: jax.Array  # [S] int32 level-0 point counts
+
+
+class _LoopState(NamedTuple):
+    p_cur: jax.Array  # [S, NP] the reference's `model_parameters`
+    p_lastgood: jax.Array  # [S, NP]
+    lam: jax.Array  # [S]
+    last_good_chi: jax.Array  # [S]
+    phase: jax.Array  # [S] int32
+    iteration: jax.Array  # [S] int32 current 1-based iteration
+    reached: jax.Array  # [S] int32
+    active: jax.Array  # [S] bool
+    error: jax.Array  # [S] int32
+    steps: jax.Array  # [] int32 global step counter (safety bound)
+
+
+def solve_level(
+    cfg: SolverConfig,
+    level: LevelArrays,
+    params0: jax.Array,
+    skip: jax.Array,
+) -> LevelResult:
+    """Run the LM iteration loop for one pyramid level over all subsets.
+
+    Args:
+      cfg: solver configuration (static).
+      level: per-level arrays.
+      params0: [S, NP] initial guesses at this level's scale.
+      skip: [S] bool — subsets frozen by earlier failures; left untouched.
+    """
+    model, interp = cfg.model, cfg.interpolation
+    s = params0.shape[0]
+    f32 = jnp.float32
+
+    def assemble(params):
+        return assemble_normal_equations(
+            model,
+            interp,
+            level.def_field,
+            level.und_w,
+            level.xy,
+            level.mask,
+            level.center,
+            params,
+        )
+
+    # scaling = 1/N for numerical precision (correlation_class.cpp:402)
+    n_ok = level.n_points > 0
+    scaling = jnp.where(n_ok, 1.0 / jnp.maximum(level.n_points, 1.0), 0.0)
+
+    # ---- initial assembly at the initial guess ---------------------------
+    a_mat, b_vec, chi_raw, interp_err = assemble(params0)
+    init_fail = (~skip) & (interp_err | ~n_ok)
+    init_error = jnp.where(
+        interp_err,
+        jnp.int32(ErrorCode.INTERPOLATION_OUT_OF_IMAGE),
+        jnp.where(n_ok, jnp.int32(ErrorCode.NONE), jnp.int32(ErrorCode.BAD_DOMAIN)),
+    )
+    chi0 = chi_raw * scaling
+    lam0 = jnp.full((s,), cfg.lambda_init, f32)
+    dp0 = lm_delta(a_mat, b_vec, lam0, scaling)
+    p_saved0 = params0 + dp0
+
+    state = _LoopState(
+        p_cur=jnp.where(init_fail[:, None], params0, p_saved0),
+        p_lastgood=params0,
+        lam=lam0,
+        last_good_chi=jnp.where(init_fail, _FLT_MAX, chi0),
+        phase=jnp.zeros((s,), jnp.int32),
+        iteration=jnp.ones((s,), jnp.int32),
+        reached=jnp.zeros((s,), jnp.int32),
+        active=(~skip) & (~init_fail),
+        error=jnp.where(init_fail, init_error, jnp.int32(ErrorCode.NONE)),
+        steps=jnp.int32(0),
+    )
+
+    max_steps = 2 * (cfg.max_iterations + 1) + 2
+    prec = f32(cfg.precision)
+    lam_min = f32(cfg.lambda_min)
+    lam_max = f32(cfg.lambda_max)
+    lam_up = f32(cfg.lambda_up)
+    lam_down = f32(cfg.lambda_down)
+
+    def cond(st: _LoopState):
+        return jnp.any(st.active) & (st.steps < max_steps)
+
+    def body(st: _LoopState) -> _LoopState:
+        is_eval = st.phase == _EVAL
+        q = jnp.where(is_eval[:, None], st.p_cur, st.p_lastgood)
+
+        a_mat, b_vec, chi_raw, interp_err = assemble(q)
+        chi = chi_raw * scaling
+
+        # The next-step update from this same assembly: EVAL uses the
+        # optimistic next lambda (correlation_class.cpp:523), RECOMPUTE the
+        # current one (correlation_class.cpp:492).
+        lam_used = jnp.where(
+            is_eval, jnp.maximum(st.lam * lam_down, lam_min), st.lam
+        )
+        dp = lm_delta(a_mat, b_vec, lam_used, scaling)
+        p_new = q + dp
+
+        # --- interpolation errors abandon the level (both phases keep
+        # model_parameters = the assembled point q) ------------------------
+        err_now = st.active & interp_err
+
+        # --- EVAL phase ----------------------------------------------------
+        do_eval = st.active & is_eval & ~interp_err
+        delta_chi = jnp.abs(
+            (st.last_good_chi - chi)
+            / (jnp.maximum(st.last_good_chi, chi) + prec)
+        )
+        converging = chi <= st.last_good_chi
+        lam_next = jnp.where(
+            converging,
+            jnp.maximum(st.lam * lam_down, lam_min),
+            jnp.minimum(st.lam * lam_up, lam_max),
+        )
+        converged = delta_chi < prec
+        next_iter = st.iteration + 1
+        exhausted = (next_iter > cfg.max_iterations) | (lam_next >= lam_max)
+        eval_stop = converged | exhausted
+
+        # --- RECOMPUTE phase -----------------------------------------------
+        do_rec = st.active & ~is_eval & ~interp_err
+
+        p_cur = jnp.where(
+            err_now[:, None],
+            q,
+            jnp.where((do_eval | do_rec)[:, None], p_new, st.p_cur),
+        )
+        p_lastgood = jnp.where(
+            (do_eval & converging)[:, None], q, st.p_lastgood
+        )
+        last_good_chi = jnp.where(
+            do_eval & converging, chi, st.last_good_chi
+        )
+        lam = jnp.where(do_eval, lam_next, st.lam)
+        phase = jnp.where(
+            do_eval,
+            jnp.where(converging, jnp.int32(_EVAL), jnp.int32(_RECOMPUTE)),
+            jnp.where(do_rec, jnp.int32(_EVAL), st.phase),
+        )
+        iteration = jnp.where(do_eval, next_iter, st.iteration)
+        reached = jnp.where(do_eval, st.iteration, st.reached)
+        active = st.active & ~err_now & ~(do_eval & eval_stop)
+        error = jnp.where(
+            err_now,
+            jnp.int32(ErrorCode.INTERPOLATION_OUT_OF_IMAGE),
+            jnp.where(
+                do_eval & exhausted & ~converged,
+                jnp.int32(ErrorCode.MAX_ITERS_REACHED),
+                st.error,
+            ),
+        )
+        return _LoopState(
+            p_cur=p_cur,
+            p_lastgood=p_lastgood,
+            lam=lam,
+            last_good_chi=last_good_chi,
+            phase=phase,
+            iteration=iteration,
+            reached=reached,
+            active=active,
+            error=error,
+            steps=st.steps + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return LevelResult(
+        params=final.p_cur,
+        last_good_chi=final.last_good_chi,
+        reached=final.reached,
+        error=final.error,
+        init_fail=init_fail,
+    )
+
+
+def prepare_levels(
+    cfg: SolverConfig,
+    und_pyramid: list[jax.Array],
+    def_pyramid: list[jax.Array],
+    xy_levels: list[jax.Array],
+    mask_levels: list[jax.Array],
+    center0: jax.Array,
+) -> dict[int, LevelArrays]:
+    """Build LevelArrays for every level in the schedule.
+
+    Undeformed intensities are gathered once per level (iteration-invariant),
+    deformed coefficient fields are precomputed once per level per frame —
+    the batched analog of the reference's per-image memo cache
+    (pyramid_class.cpp:364-414).
+    """
+    out = {}
+    for lvl in cfg.pyramid.levels_coarse_to_fine():
+        xy = xy_levels[lvl]
+        mask = mask_levels[lvl]
+        # Per-level center = level-0 center / 2^level
+        # (pyramid_class.cpp:349-362).
+        center = center0 / jnp.float32(1 << lvl)
+        und_w = sample_integer(und_pyramid[lvl], xy) * mask[..., None]
+        def_field = precompute_field(def_pyramid[lvl], cfg.interpolation)
+        n_points = jnp.sum(mask, axis=-1).astype(jnp.float32)
+        out[lvl] = LevelArrays(xy, mask, center, und_w, def_field, n_points)
+    return out
+
+
+def correlate_prepared(
+    cfg: SolverConfig,
+    levels: dict[int, LevelArrays],
+    params0: jax.Array,
+    center0: jax.Array,
+    n_points0: jax.Array,
+) -> CorrelationResult:
+    """Coarse-to-fine solve given prepared per-level arrays.
+
+    params0: [S, NP] initial guesses at level-0 scale.
+    center0: [S, 2] level-0 subset centers (reported in the result).
+    n_points0: [S] level-0 point counts (reported in the result,
+      manager_class.cpp:2324).
+    """
+    schedule = cfg.pyramid.levels_coarse_to_fine()
+    s = params0.shape[0]
+
+    p = params0
+    prev_level = 0
+    frozen = jnp.zeros((s,), bool)
+    final_params = jnp.zeros_like(params0)
+    frozen_chi = jnp.zeros((s,), jnp.float32)
+    frozen_error = jnp.zeros((s,), jnp.int32)
+    chi = jnp.zeros((s,), jnp.float32)
+    reached = jnp.zeros((s,), jnp.int32)
+    error = jnp.zeros((s,), jnp.int32)
+
+    for lvl in schedule:
+        p = translate_params(p, prev_level, lvl)
+        res = solve_level(cfg, levels[lvl], p, frozen)
+        newly_frozen = res.init_fail & ~frozen
+        # Init failure returns the untouched guess translated to level 0
+        # (correlation_class.cpp:413-419).
+        final_params = jnp.where(
+            newly_frozen[:, None], translate_params(p, lvl, 0), final_params
+        )
+        frozen_chi = jnp.where(newly_frozen, res.last_good_chi, frozen_chi)
+        frozen_error = jnp.where(newly_frozen, res.error, frozen_error)
+        frozen = frozen | newly_frozen
+
+        live = ~frozen
+        p = jnp.where(live[:, None], res.params, p)
+        chi = jnp.where(live, res.last_good_chi, chi)
+        reached = jnp.where(live, res.reached, reached)
+        error = jnp.where(live, res.error, error)
+        prev_level = lvl
+
+    params_out = jnp.where(
+        frozen[:, None], final_params, translate_params(p, prev_level, 0)
+    )
+    chi_out = jnp.where(frozen, frozen_chi, chi)
+    error_out = jnp.where(frozen, frozen_error, error)
+
+    return CorrelationResult(
+        params=params_out,
+        chi=chi_out,
+        iterations=reached,
+        error=error_out,
+        center=center0,
+        n_points=n_points0.astype(jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _correlate_jit(cfg, und_pyramid, def_pyramid, xy, mask, center0, params0):
+    levels = prepare_levels(cfg, und_pyramid, def_pyramid, xy, mask, center0)
+    n_points0 = jnp.sum(mask[0], axis=-1)
+    return correlate_prepared(cfg, levels, params0, center0, n_points0)
+
+
+def correlate(
+    cfg: SolverConfig,
+    und_pyramid,
+    def_pyramid,
+    subsets,
+    params0,
+) -> CorrelationResult:
+    """End-to-end batched correlation of one frame pair.
+
+    Args:
+      cfg: solver configuration.
+      und_pyramid / def_pyramid: lists of [H_l, W_l, C] float32 images
+        (see ops.pyramid.build_pyramid).
+      subsets: a domains.SubsetBatch.
+      params0: [S, NP] initial guesses (level-0 scale).
+
+    Returns:
+      CorrelationResult.
+    """
+    xy = [jnp.asarray(a) for a in subsets.xy]
+    mask = [jnp.asarray(a) for a in subsets.mask]
+    return _correlate_jit(
+        cfg,
+        [jnp.asarray(a) for a in und_pyramid],
+        [jnp.asarray(a) for a in def_pyramid],
+        xy,
+        mask,
+        jnp.asarray(subsets.center0),
+        jnp.asarray(params0, jnp.float32),
+    )

@@ -1,0 +1,335 @@
+"""Multi-frame correlation driver.
+
+Replaces managerClass::perform_multiframe_correlation and the per-frame
+sector orchestration (manager_class.cpp:1297-1541, 274-814) — but where the
+reference loops sectors serially around single-sector solves, every frame
+here is ONE batched engine call over all sectors.
+
+Capabilities carried over:
+  * reference-image modes First / Previous with O(1)-memory frame recycling
+    (und <- def <- next, pyramid_class.cpp:211-258),
+  * deformation descriptions Eulerian / Lagrangian / strict-Lagrangian
+    domain updates (manager_class.cpp:354-419),
+  * constant-velocity initial-guess extrapolation for Eulerian + ref-First
+    (manager_class.cpp:2677-2686), plus frame-0 per-sector guess
+    customization from the global guess (manager_class.cpp:2609-2660),
+  * per-sector result records and the point-weighted global averages
+    (manager_class.cpp:2709-2753),
+  * CSV report rows identical in content to manager_class.cpp:2430-2525,
+  * error-handling modes stop-all / stop-frame / continue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from correlation_tpu.config import (
+    DeformationDescription,
+    ErrorCode,
+    ErrorMode,
+    FittingModel,
+    ReferenceImage,
+    SolverConfig,
+)
+from correlation_tpu.domains import SubsetBatch, make_batch
+from correlation_tpu.engine import correlate
+from correlation_tpu.models.warp import rotation_angle, warp_points
+from correlation_tpu.ops.pyramid import build_pyramid
+
+
+@dataclasses.dataclass(frozen=True)
+class SequenceConfig:
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    deformation: DeformationDescription = DeformationDescription.EULERIAN
+    reference: ReferenceImage = ReferenceImage.FIRST
+    error_mode: ErrorMode = ErrorMode.CONTINUE
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """Per-frame, per-sector results (the analog of frame_results,
+    domains.hpp:59-108, flattened into arrays)."""
+
+    frame: int
+    params: np.ndarray  # [S, NP]
+    initial_guess: np.ndarray  # [S, NP]
+    chi: np.ndarray  # [S]
+    iterations: np.ndarray  # [S]
+    error: np.ndarray  # [S]
+    n_points: np.ndarray  # [S]
+    und_center: np.ndarray  # [S, 2]
+    def_center: np.ndarray  # [S, 2]
+    und_angle: np.ndarray  # [S]
+    def_angle: np.ndarray  # [S]
+    und_global_center: np.ndarray  # [2]
+    def_global_center: np.ndarray  # [2]
+    und_global_angle: float
+    def_global_angle: float
+
+
+@dataclasses.dataclass
+class _TrackState:
+    """Chained per-sector state across frames."""
+
+    und_points: list[np.ndarray]  # level-0 float positions per sector
+    und_center: np.ndarray  # [S, 2]
+    past_und_center: np.ndarray  # [S, 2]
+    und_angle: np.ndarray  # [S]
+    und_global_center: np.ndarray  # [2]
+    und_global_angle: float
+    params: np.ndarray  # [S, NP] resulting parameters
+    prev_params: np.ndarray  # [S, NP]
+    guess: np.ndarray  # [S, NP]
+    def_center: np.ndarray  # [S, 2]
+    def_angle: np.ndarray  # [S]
+    def_global_center: np.ndarray  # [2]
+    def_global_angle: float
+    explicit_centers: bool  # rectangular domains pass centers explicitly
+
+
+def initial_track_state(
+    point_lists: list[np.ndarray],
+    centers: np.ndarray | None,
+    global_center: np.ndarray,
+    global_guess: np.ndarray,
+    model: FittingModel,
+) -> _TrackState:
+    """Frame-0 setup: per-sector guess customization from the global guess.
+
+    For UVQ, sectors away from the global center receive the rigid-rotation
+    translation offset; for AFFINE, the strain offset
+    (manager_class.cpp:2609-2660).
+    """
+    s = len(point_lists)
+    num_params = len(global_guess)
+    explicit = centers is not None
+    if centers is None:
+        centers = np.array(
+            [p.mean(axis=0) for p in point_lists], np.float32
+        )
+    guess = np.tile(np.asarray(global_guess, np.float32), (s, 1))
+    d = centers - np.asarray(global_center, np.float32)
+    if model == FittingModel.UVQ:
+        vx = global_guess[2]
+        guess[:, 0] += -d[:, 1] * vx
+        guess[:, 1] += d[:, 0] * vx
+    elif model == FittingModel.AFFINE:
+        ux, uy, vx, vy = global_guess[2:6]
+        guess[:, 0] += d[:, 0] * ux + d[:, 1] * uy
+        guess[:, 1] += d[:, 0] * vx + d[:, 1] * vy
+    return _TrackState(
+        und_points=[np.asarray(p, np.float32) for p in point_lists],
+        und_center=centers.astype(np.float32),
+        past_und_center=centers.astype(np.float32).copy(),
+        und_angle=np.zeros(s, np.float32),
+        und_global_center=np.asarray(global_center, np.float32),
+        und_global_angle=0.0,
+        params=np.zeros((s, num_params), np.float32),
+        prev_params=guess.copy(),
+        guess=guess,
+        def_center=centers.astype(np.float32).copy(),
+        def_angle=np.zeros(s, np.float32),
+        def_global_center=np.asarray(global_center, np.float32),
+        def_global_angle=0.0,
+        explicit_centers=explicit,
+    )
+
+
+def _round_points(pts: np.ndarray) -> np.ndarray:
+    """add_pair semantics: (int)(x + 0.5) (manager_class.cpp:38-47)."""
+    return np.floor(pts + 0.5).astype(np.float32)
+
+
+def advance_domain(
+    state: _TrackState,
+    cfg: SequenceConfig,
+    model: FittingModel,
+) -> None:
+    """Move the undeformed domain per the deformation description
+    (manager_class.cpp:354-419 and adjust_*_domain at :2018-2310)."""
+    deform = cfg.deformation
+    if deform == DeformationDescription.EULERIAN:
+        return
+    # Lagrangian family: the domain follows the material.
+    state.und_global_center = state.def_global_center.copy()
+    state.und_global_angle = state.def_global_angle
+    state.past_und_center = state.und_center.copy()
+    new_center = state.def_center.copy()
+    if deform == DeformationDescription.LAGRANGIAN:
+        offset = new_center - state.past_und_center
+        state.und_points = [
+            _round_points(p + offset[i])
+            for i, p in enumerate(state.und_points)
+        ]
+    else:  # strict Lagrangian: every point individually warped
+        state.und_points = [
+            np.asarray(
+                warp_points(
+                    model,
+                    jnp.asarray(state.params[i]),
+                    jnp.asarray(p),
+                    jnp.asarray(state.und_center[i]),
+                )
+            )
+            for i, p in enumerate(state.und_points)
+        ]
+    state.und_center = new_center
+    state.und_angle = state.def_angle.copy()
+
+
+def advance_guess(state: _TrackState, cfg: SequenceConfig) -> None:
+    """Constant-velocity extrapolation of the initial guess
+    (manager_class.cpp:2672-2700)."""
+    if (
+        cfg.deformation == DeformationDescription.EULERIAN
+        and cfg.reference == ReferenceImage.FIRST
+    ):
+        state.guess = state.params + (state.params - state.prev_params)
+    else:
+        state.guess = state.params.copy()
+    state.prev_params = state.params.copy()
+
+
+def update_results(
+    state: _TrackState,
+    model: FittingModel,
+    params: np.ndarray,
+    und_center: np.ndarray,
+    n_points: np.ndarray,
+) -> None:
+    """Post-solve per-sector and global updates
+    (manager_class.cpp:2312-2428, 2709-2753)."""
+    state.params = params
+    state.und_center = und_center
+    # def center: the warp applied to the sector center about itself
+    # (dx = dy = 0 -> pure u, v translation; manager_class.cpp:2404-2413).
+    state.def_center = und_center + _uv(params)
+    state.def_angle = (
+        np.asarray(rotation_angle(model, jnp.asarray(params)))
+        + state.und_angle
+    )
+    n = n_points.astype(np.float64)
+    total = max(n.sum(), 1.0)
+    state.def_global_angle = float((state.def_angle * n).sum() / total)
+    state.def_global_center = (
+        (state.def_center * n[:, None]).sum(axis=0) / total
+    ).astype(np.float32)
+
+
+def _uv(params: np.ndarray) -> np.ndarray:
+    uv = np.zeros((params.shape[0], 2), np.float32)
+    uv[:, 0] = params[:, 0]
+    if params.shape[1] >= 2:
+        uv[:, 1] = params[:, 1]
+    return uv
+
+
+def run_sequence(
+    frames: list[np.ndarray],
+    point_lists: list[np.ndarray],
+    cfg: SequenceConfig,
+    global_guess: np.ndarray | None = None,
+    centers: np.ndarray | None = None,
+    global_center: np.ndarray | None = None,
+) -> list[FrameRecord]:
+    """Correlate a frame sequence.
+
+    Args:
+      frames: list of [H, W, C] float32 images (uint8-valued), length >= 2.
+      point_lists: per-sector level-0 undeformed points (frame 0).
+      cfg: sequence configuration.
+      global_guess: [NP] global initial guess (default zeros).
+      centers: [S, 2] explicit sector centers (rectangular domains), or None
+        to use per-sector point means (annular/blob).
+      global_center: [2] domain global center (defaults to mean of centers).
+
+    Returns:
+      One FrameRecord per frame pair.
+    """
+    solver = cfg.solver
+    model = solver.model
+    num_params = solver.num_params
+    if global_guess is None:
+        global_guess = np.zeros(num_params, np.float32)
+    if global_center is None:
+        cs = (
+            np.asarray(centers)
+            if centers is not None
+            else np.array([p.mean(axis=0) for p in point_lists])
+        )
+        global_center = cs.mean(axis=0)
+
+    state = initial_track_state(
+        point_lists, centers, global_center, global_guess, model
+    )
+
+    stop = solver.pyramid.stop
+    pyramids: dict[int, list] = {}
+
+    def pyramid_of(idx: int):
+        if idx not in pyramids:
+            pyramids[idx] = build_pyramid(jnp.asarray(frames[idx]), stop)
+            # Keep at most the three live pyramids (und/def/next) resident,
+            # mirroring the reference's frame recycling.
+            live = {idx, idx - 1, 0 if cfg.reference == ReferenceImage.FIRST else -1}
+            for k in [k for k in pyramids if k not in live and k != idx]:
+                if len(pyramids) > 3:
+                    pyramids.pop(k)
+        return pyramids[idx]
+
+    records: list[FrameRecord] = []
+    total_pairs = len(frames) - 1
+    for frame in range(total_pairs):
+        und_idx = 0 if cfg.reference == ReferenceImage.FIRST else frame
+        def_idx = frame + 1
+
+        if frame > 0:
+            advance_domain(state, cfg, model)
+            advance_guess(state, cfg)
+
+        batch = make_batch(
+            state.und_points,
+            state.und_center if state.explicit_centers else None,
+            stop,
+        )
+        result = correlate(
+            solver,
+            pyramid_of(und_idx),
+            pyramid_of(def_idx),
+            batch,
+            state.guess,
+        )
+        params = np.asarray(result.params)
+        und_center = np.asarray(result.center)
+        n_points = np.asarray(result.n_points)
+        errors = np.asarray(result.error)
+
+        update_results(state, model, params, und_center, n_points)
+
+        records.append(
+            FrameRecord(
+                frame=frame,
+                params=params,
+                initial_guess=state.guess.copy(),
+                chi=np.asarray(result.chi),
+                iterations=np.asarray(result.iterations),
+                error=errors,
+                n_points=n_points,
+                und_center=und_center,
+                def_center=state.def_center.copy(),
+                und_angle=state.und_angle.copy(),
+                def_angle=state.def_angle.copy(),
+                und_global_center=state.und_global_center.copy(),
+                def_global_center=state.def_global_center.copy(),
+                und_global_angle=state.und_global_angle,
+                def_global_angle=state.def_global_angle,
+            )
+        )
+
+        any_error = bool((errors != int(ErrorCode.NONE)).any())
+        if any_error and cfg.error_mode == ErrorMode.STOP_ALL:
+            break
+    return records

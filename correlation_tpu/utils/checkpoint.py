@@ -1,0 +1,100 @@
+"""Checkpoint/resume of a multi-frame tracking run.
+
+The reference has no checkpointing (SURVEY.md §5): its only persistent
+artifact is the CSV report and per-frame chaining state lives in RAM.  Here
+the chained per-sector state (_TrackState) and completed frame records are
+trivially serializable arrays, so a run can resume mid-sequence.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from correlation_tpu.sequence import FrameRecord, _TrackState
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(
+    path: str,
+    next_frame: int,
+    state: _TrackState,
+    records: list[FrameRecord],
+) -> None:
+    """Write the resumable state of a sequence run to one .npz file."""
+    payload: dict[str, np.ndarray] = {}
+    meta = {
+        "version": _FORMAT_VERSION,
+        "next_frame": next_frame,
+        "num_records": len(records),
+        "num_sectors": len(state.und_points),
+        "und_global_angle": state.und_global_angle,
+        "def_global_angle": state.def_global_angle,
+        "explicit_centers": state.explicit_centers,
+    }
+    for i, pts in enumerate(state.und_points):
+        payload[f"und_points_{i}"] = pts
+    for field in (
+        "und_center",
+        "past_und_center",
+        "und_angle",
+        "und_global_center",
+        "params",
+        "prev_params",
+        "guess",
+        "def_center",
+        "def_angle",
+        "def_global_center",
+    ):
+        payload[f"state_{field}"] = np.asarray(getattr(state, field))
+    for r, rec in enumerate(records):
+        for f in dataclasses.fields(FrameRecord):
+            v = getattr(rec, f.name)
+            payload[f"rec{r}_{f.name}"] = np.asarray(v)
+    payload["meta"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    tmp = path + ".tmp"
+    np.savez_compressed(tmp, **payload)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_checkpoint(path: str):
+    """Returns (next_frame, state, records)."""
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(data["meta"]).decode())
+    assert meta["version"] == _FORMAT_VERSION
+    state = _TrackState(
+        und_points=[
+            data[f"und_points_{i}"] for i in range(meta["num_sectors"])
+        ],
+        und_center=data["state_und_center"],
+        past_und_center=data["state_past_und_center"],
+        und_angle=data["state_und_angle"],
+        und_global_center=data["state_und_global_center"],
+        und_global_angle=float(meta["und_global_angle"]),
+        params=data["state_params"],
+        prev_params=data["state_prev_params"],
+        guess=data["state_guess"],
+        def_center=data["state_def_center"],
+        def_angle=data["state_def_angle"],
+        def_global_center=data["state_def_global_center"],
+        def_global_angle=float(meta["def_global_angle"]),
+        explicit_centers=bool(meta["explicit_centers"]),
+    )
+    records = []
+    for r in range(meta["num_records"]):
+        kwargs = {}
+        for f in dataclasses.fields(FrameRecord):
+            v = data[f"rec{r}_{f.name}"]
+            if f.name == "frame":
+                v = int(v)
+            elif f.name in ("und_global_angle", "def_global_angle"):
+                v = float(v)
+            kwargs[f.name] = v
+        records.append(FrameRecord(**kwargs))
+    return meta["next_frame"], state, records

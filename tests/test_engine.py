@@ -1,0 +1,193 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle
+from correlation_tpu.config import (
+    ErrorCode,
+    FittingModel,
+    Interpolation,
+    PyramidConfig,
+    SolverConfig,
+)
+from correlation_tpu.domains import make_batch
+from correlation_tpu.engine import correlate
+from correlation_tpu.ops.pyramid import build_pyramid
+from synthetic import Speckle
+
+
+def _grid(x0, y0, x1, y1):
+    return np.stack(
+        np.meshgrid(
+            np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
+        ),
+        axis=-1,
+    ).reshape(-1, 2).astype(np.float32)
+
+
+def test_translation_recovery_single_level():
+    """BASELINE config 1: single rectangular subset, translation-only warp,
+    1 pyramid level, 2-frame pair."""
+    spk = Speckle(64, 64, seed=21)
+    true_u, true_v = 1.37, -0.58
+    und = spk.image()
+    dfm = spk.warped_image(u=true_u, v=true_v)
+
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+        precision=1e-6,
+    )
+    pts = _grid(20, 20, 44, 44)
+    batch = make_batch([pts], None, 0)
+    res = correlate(
+        cfg,
+        [jnp.asarray(und[..., None])],
+        [jnp.asarray(dfm[..., None])],
+        batch,
+        np.zeros((1, 2), np.float32),
+    )
+    params = np.asarray(res.params)[0]
+    assert int(res.error[0]) == int(ErrorCode.NONE)
+    np.testing.assert_allclose(params, [true_u, true_v], atol=2e-3)
+
+
+def test_affine_recovery_with_pyramid():
+    """BASELINE config 2: affine 6-param warp, 3-level pyramid, bicubic."""
+    spk = Speckle(96, 96, seed=22)
+    aff = np.array([[0.004, -0.006], [0.005, 0.003]])
+    center = (48.0, 48.0)
+    true_u, true_v = 2.6, -1.9
+    und = spk.image(quantize=True)
+    dfm = spk.warped_image(
+        u=true_u, v=true_v, affine=aff, center=center, quantize=True
+    )
+
+    cfg = SolverConfig(
+        model=FittingModel.AFFINE,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 2),
+        precision=1e-5,
+    )
+    pts = _grid(33, 33, 63, 63)
+    batch = make_batch([pts], None, 2)
+    res = correlate(
+        cfg,
+        build_pyramid(jnp.asarray(und[..., None]), 2),
+        build_pyramid(jnp.asarray(dfm[..., None]), 2),
+        batch,
+        np.zeros((1, 6), np.float32),
+    )
+    p = np.asarray(res.params)[0]
+    assert int(res.error[0]) == int(ErrorCode.NONE)
+    # The synthetic affine warp is about the image center; the solver's warp
+    # is about the subset center (same here by construction).
+    np.testing.assert_allclose(p[0], true_u, atol=0.02)
+    np.testing.assert_allclose(p[1], true_v, atol=0.02)
+    np.testing.assert_allclose(
+        p[2:], [0.004, -0.006, 0.005, 0.003], atol=2e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "model,interp,omodel,ointerp,levels",
+    [
+        (FittingModel.UV, Interpolation.BICUBIC, "UV", "bicubic", (0,)),
+        (
+            FittingModel.AFFINE,
+            Interpolation.BICUBIC,
+            "AFFINE",
+            "bicubic",
+            (2, 1, 0),
+        ),
+        (FittingModel.UVQ, Interpolation.BILINEAR, "UVQ", "bilinear", (1, 0)),
+    ],
+)
+def test_lm_trajectory_matches_oracle(model, interp, omodel, ointerp, levels):
+    """The batched masked LM loop must reproduce the serial reference loop:
+    same converged parameters, same iteration counts."""
+    spk = Speckle(72, 70, seed=23)
+    und = np.floor(spk.image()).astype(np.float64)
+    dfm = np.floor(spk.warped_image(u=0.9, v=0.7)).astype(np.float64)
+
+    max_level = max(levels)
+    cfg = SolverConfig(
+        model=model,
+        interpolation=interp,
+        pyramid=PyramidConfig(0, 1, max_level),
+        precision=1e-3,
+        max_iterations=50,
+    )
+    subsets = [
+        _grid(16, 16, 32, 34),
+        _grid(36, 20, 52, 36),
+        _grid(24, 40, 44, 56),
+    ]
+    batch = make_batch(subsets, None, max_level)
+    num_p = oracle.NP_OF[omodel]
+    guesses = np.zeros((3, num_p), np.float32)
+    guesses[:, 0] = 0.5
+    if num_p > 1:
+        guesses[:, 1] = 0.5
+
+    und_pyr = build_pyramid(jnp.asarray(und[..., None], jnp.float32), max_level)
+    def_pyr = build_pyramid(jnp.asarray(dfm[..., None], jnp.float32), max_level)
+    res = correlate(cfg, und_pyr, def_pyr, batch, guesses)
+
+    und_pyr_np = [np.asarray(a)[..., 0].astype(np.float64) for a in und_pyr]
+    def_pyr_np = [np.asarray(a)[..., 0].astype(np.float64) for a in def_pyr]
+
+    for s, pts in enumerate(subsets):
+        out = oracle.newton_raphson(
+            omodel,
+            ointerp,
+            und_pyr_np,
+            def_pyr_np,
+            pts.astype(np.float64),
+            guesses[s].astype(np.float64),
+            levels=levels,
+            max_iters=50,
+            precision=1e-3,
+        )
+        assert out["error"] is None
+        assert int(res.error[s]) == int(ErrorCode.NONE)
+        np.testing.assert_allclose(
+            np.asarray(res.params)[s], out["params"], atol=5e-4
+        )
+        np.testing.assert_allclose(
+            float(res.chi[s]), out["chi"], rtol=1e-3, atol=1e-3
+        )
+        assert int(res.iterations[s]) == out["iterations"], (
+            s,
+            int(res.iterations[s]),
+            out["iterations"],
+        )
+
+
+def test_out_of_image_initial_guess_freezes_subset():
+    spk = Speckle(48, 48, seed=24)
+    und = spk.image(quantize=True)
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+    )
+    pts = _grid(10, 10, 20, 20)
+    batch = make_batch([pts, pts], None, 0)
+    guesses = np.array([[0.0, 0.0], [300.0, 0.0]], np.float32)
+    res = correlate(
+        cfg,
+        [jnp.asarray(und[..., None])],
+        [jnp.asarray(und[..., None])],
+        batch,
+        guesses,
+    )
+    assert int(res.error[0]) == int(ErrorCode.NONE)
+    assert int(res.error[1]) == int(ErrorCode.INTERPOLATION_OUT_OF_IMAGE)
+    # frozen subset returns its untouched initial guess
+    np.testing.assert_allclose(np.asarray(res.params)[1], [300.0, 0.0])
+    assert float(res.chi[1]) == float(np.finfo(np.float32).max)
+    # healthy subset converged to identity
+    np.testing.assert_allclose(np.asarray(res.params)[0], [0.0, 0.0],
+                               atol=1e-3)
