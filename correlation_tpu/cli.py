@@ -91,6 +91,8 @@ def build_parser() -> argparse.ArgumentParser:
                     default="continue")
     ap.add_argument("--color", action="store_true",
                     help="correlate RGB instead of monochrome")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (before any jax use)")
     ap.add_argument("--report", type=str, default="-",
                     help="report CSV path ('-' = stdout)")
     return ap
@@ -98,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     solver = SolverConfig(
         model=_MODELS[args.model],
         interpolation=_INTERPS[args.interp],

@@ -126,6 +126,12 @@ class SolverConfig:
     lambda_max: float = 1e9
     lambda_up: float = 10.0
     lambda_down: float = 0.4
+    # Assembly backend: "auto" picks the fused Pallas kernel on TPU and the
+    # pure-XLA path elsewhere; "xla" / "pallas" force one.
+    backend: str = "auto"
+    # Extra pixels of warp headroom in the Pallas image tiles (beyond the
+    # subset extent + spline halo + DMA alignment slack).
+    tile_margin: int = 8
 
     @property
     def num_params(self) -> int:

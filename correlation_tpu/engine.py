@@ -68,14 +68,32 @@ _RECOMPUTE = 1  # re-assemble at last-good to rebuild the tentative step
 
 
 class LevelArrays(NamedTuple):
-    """Per-pyramid-level solver inputs for a subset batch."""
+    """Per-pyramid-level solver inputs for a subset batch.
+
+    The XLA backend uses def_field (coefficient field + gather); the Pallas
+    backend uses def_img/pixdata/bbox (per-subset VMEM tiles, zero gathers).
+    Unused fields are None.
+    """
 
     xy: jax.Array  # [S, P_l, 2]
     mask: jax.Array  # [S, P_l] bool
     center: jax.Array  # [S, 2]
     und_w: jax.Array  # [S, P_l, C]
-    def_field: InterpField
     n_points: jax.Array  # [S] float32
+    def_field: InterpField | None = None  # XLA backend
+    def_img: jax.Array | None = None  # Pallas backend: padded [Hp, Wp]
+    pixdata: jax.Array | None = None  # Pallas backend: [S, P_pad, 8]
+    bbox: jax.Array | None = None  # Pallas backend: [S, 4, 2]
+
+
+class LevelStatic(NamedTuple):
+    """Static (hashable) per-level info for the Pallas backend."""
+
+    tile_h: int
+    tile_w: int
+    img_h: int  # TRUE image dims (validity windows)
+    img_w: int
+    use_dma: bool = False  # manual in-kernel DMA vs XLA tile extraction
 
 
 class LevelResult(NamedTuple):
@@ -116,6 +134,7 @@ def solve_level(
     level: LevelArrays,
     params0: jax.Array,
     skip: jax.Array,
+    static: LevelStatic | None = None,
 ) -> LevelResult:
     """Run the LM iteration loop for one pyramid level over all subsets.
 
@@ -124,22 +143,58 @@ def solve_level(
       level: per-level arrays.
       params0: [S, NP] initial guesses at this level's scale.
       skip: [S] bool — subsets frozen by earlier failures; left untouched.
+      static: tile/image dims when the Pallas backend is active.
     """
     model, interp = cfg.model, cfg.interpolation
     s = params0.shape[0]
     f32 = jnp.float32
 
-    def assemble(params):
-        return assemble_normal_equations(
-            model,
-            interp,
-            level.def_field,
-            level.und_w,
-            level.xy,
-            level.mask,
-            level.center,
-            params,
-        )
+    if level.pixdata is not None:
+        from correlation_tpu.ops import pallas_kernels as pk
+
+        def assemble(params):
+            origins = pk.compute_origins(
+                model,
+                interp,
+                level.bbox,
+                level.center,
+                params,
+                level.def_img.shape[0],
+                level.def_img.shape[1],
+                static.tile_h,
+                static.tile_w,
+            )
+            fn = (
+                pk.fused_assemble if static.use_dma
+                else pk.fused_assemble_tiles
+            )
+            out = fn(
+                model,
+                interp,
+                static.tile_h,
+                static.tile_w,
+                static.img_h,
+                static.img_w,
+                level.def_img,
+                level.pixdata,
+                params,
+                origins,
+            )
+            return out.a_mat, out.b_vec, out.chi, out.err
+
+    else:
+
+        def assemble(params):
+            return assemble_normal_equations(
+                model,
+                interp,
+                level.def_field,
+                level.und_w,
+                level.xy,
+                level.mask,
+                level.center,
+                params,
+            )
 
     # scaling = 1/N for numerical precision (correlation_class.cpp:402)
     n_ok = level.n_points > 0
@@ -280,13 +335,16 @@ def prepare_levels(
     xy_levels: list[jax.Array],
     mask_levels: list[jax.Array],
     center0: jax.Array,
+    statics: dict[int, LevelStatic] | None = None,
 ) -> dict[int, LevelArrays]:
     """Build LevelArrays for every level in the schedule.
 
-    Undeformed intensities are gathered once per level (iteration-invariant),
-    deformed coefficient fields are precomputed once per level per frame —
-    the batched analog of the reference's per-image memo cache
-    (pyramid_class.cpp:364-414).
+    Undeformed intensities are gathered once per level (iteration-invariant).
+    XLA backend (statics is None): deformed coefficient fields are
+    precomputed once per level per frame — the batched analog of the
+    reference's per-image memo cache (pyramid_class.cpp:364-414).
+    Pallas backend: the deformed image is DMA-padded and per-pixel data is
+    packed for the fused kernel instead.
     """
     out = {}
     for lvl in cfg.pyramid.levels_coarse_to_fine():
@@ -296,9 +354,43 @@ def prepare_levels(
         # (pyramid_class.cpp:349-362).
         center = center0 / jnp.float32(1 << lvl)
         und_w = sample_integer(und_pyramid[lvl], xy) * mask[..., None]
-        def_field = precompute_field(def_pyramid[lvl], cfg.interpolation)
         n_points = jnp.sum(mask, axis=-1).astype(jnp.float32)
-        out[lvl] = LevelArrays(xy, mask, center, und_w, def_field, n_points)
+        if statics is None:
+            def_field = precompute_field(def_pyramid[lvl], cfg.interpolation)
+            out[lvl] = LevelArrays(
+                xy, mask, center, und_w, n_points, def_field=def_field
+            )
+        else:
+            from correlation_tpu.ops import pallas_kernels as pk
+
+            def_img = pk.pad_image_for_dma(def_pyramid[lvl][..., 0])
+            pixdata = pk.pack_pixdata(xy, mask, und_w, center)
+            big = jnp.float32(1e9)
+            mins = jnp.min(
+                jnp.where(mask[..., None], xy, big), axis=1
+            )
+            maxs = jnp.max(
+                jnp.where(mask[..., None], xy, -big), axis=1
+            )
+            bbox = jnp.stack(
+                [
+                    mins,
+                    jnp.stack([mins[..., 0], maxs[..., 1]], -1),
+                    jnp.stack([maxs[..., 0], mins[..., 1]], -1),
+                    maxs,
+                ],
+                axis=1,
+            )
+            out[lvl] = LevelArrays(
+                xy,
+                mask,
+                center,
+                und_w,
+                n_points,
+                def_img=def_img,
+                pixdata=pixdata,
+                bbox=bbox,
+            )
     return out
 
 
@@ -308,6 +400,7 @@ def correlate_prepared(
     params0: jax.Array,
     center0: jax.Array,
     n_points0: jax.Array,
+    statics: dict[int, LevelStatic] | None = None,
 ) -> CorrelationResult:
     """Coarse-to-fine solve given prepared per-level arrays.
 
@@ -331,7 +424,13 @@ def correlate_prepared(
 
     for lvl in schedule:
         p = translate_params(p, prev_level, lvl)
-        res = solve_level(cfg, levels[lvl], p, frozen)
+        res = solve_level(
+            cfg,
+            levels[lvl],
+            p,
+            frozen,
+            statics.get(lvl) if statics else None,
+        )
         newly_frozen = res.init_fail & ~frozen
         # Init failure returns the untouched guess translated to level 0
         # (correlation_class.cpp:413-419).
@@ -365,11 +464,64 @@ def correlate_prepared(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _correlate_jit(cfg, und_pyramid, def_pyramid, xy, mask, center0, params0):
-    levels = prepare_levels(cfg, und_pyramid, def_pyramid, xy, mask, center0)
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _correlate_jit(
+    cfg, statics, und_pyramid, def_pyramid, xy, mask, center0, params0
+):
+    statics_d = dict(statics) if statics else None
+    levels = prepare_levels(
+        cfg, und_pyramid, def_pyramid, xy, mask, center0, statics_d
+    )
     n_points0 = jnp.sum(mask[0], axis=-1)
-    return correlate_prepared(cfg, levels, params0, center0, n_points0)
+    return correlate_prepared(
+        cfg, levels, params0, center0, n_points0, statics_d
+    )
+
+
+def resolve_backend(cfg: SolverConfig, num_colors: int) -> str:
+    """Pick the assembly backend.
+
+    The fused Pallas kernel runs on TPU for monochrome images; everything
+    else takes the pure-XLA path (which runs anywhere and supports color).
+    """
+    if cfg.backend != "auto":
+        return cfg.backend
+    # TODO(round 1): flip auto to the fused Pallas kernel on TPU once the
+    # kernel is validated on hardware (the axon tunnel in this environment
+    # wedged during first bring-up; interpret-mode parity is green).
+    del num_colors
+    return "xla"
+
+
+def _backend_uses_pallas(backend: str) -> bool:
+    return backend in ("pallas", "pallas_dma")
+
+
+def compute_level_statics(
+    cfg: SolverConfig, subsets, def_pyramid
+) -> tuple[tuple[int, "LevelStatic"], ...]:
+    """Host-side static tile dims per level for the Pallas backend."""
+    from correlation_tpu.ops.pallas_kernels import choose_tile
+
+    out = []
+    for lvl in cfg.pyramid.levels_coarse_to_fine():
+        xy = np.asarray(subsets.xy[lvl])
+        mask = np.asarray(subsets.mask[lvl])
+        if mask.any():
+            mins = np.where(mask[..., None], xy, np.inf).min(axis=1)
+            maxs = np.where(mask[..., None], xy, -np.inf).max(axis=1)
+            span = np.max(np.where(mask.any(axis=1)[:, None],
+                                   maxs - mins, 0.0), axis=0)
+            ext_x, ext_y = int(np.ceil(span[0])), int(np.ceil(span[1]))
+        else:
+            ext_x = ext_y = 1
+        h, w = int(def_pyramid[lvl].shape[0]), int(def_pyramid[lvl].shape[1])
+        hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+        th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
+        out.append(
+            (lvl, LevelStatic(th, tw, h, w, cfg.backend == "pallas_dma"))
+        )
+    return tuple(out)
 
 
 def correlate(
@@ -391,10 +543,18 @@ def correlate(
     Returns:
       CorrelationResult.
     """
+    num_colors = int(und_pyramid[0].shape[-1])
+    backend = resolve_backend(cfg, num_colors)
+    statics = (
+        compute_level_statics(cfg, subsets, def_pyramid)
+        if _backend_uses_pallas(backend)
+        else None
+    )
     xy = [jnp.asarray(a) for a in subsets.xy]
     mask = [jnp.asarray(a) for a in subsets.mask]
     return _correlate_jit(
         cfg,
+        statics,
         [jnp.asarray(a) for a in und_pyramid],
         [jnp.asarray(a) for a in def_pyramid],
         xy,
