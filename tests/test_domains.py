@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+from correlation_tpu import domains
+from correlation_tpu.polygon import Polygon
+
+
+def test_rectangular_sectors_tiling():
+    dom = domains.RectangularDomain(10, 20, 110, 120, 2, 2)
+    centers, xdim, ydim = domains.rectangular_sectors(dom)
+    assert centers.shape == (4, 2)
+    # manager_class.cpp:283-284: xdim = (|x1-x0|/hs - 1) / 2 = 24
+    assert xdim == 24 and ydim == 24
+    # float-accurate center chain (manager_class.cpp:305,310):
+    # center0 = int(0.5 + 10 + 24.5) = 35; next = int(...+ 2*24.5+1) = 85
+    assert tuple(centers[0]) == (35, 45)
+    assert tuple(centers[3]) == (85, 95)  # i=1, j=1
+
+
+def test_rectangular_points_order_and_count():
+    pts = domains.rectangular_points(5, 7, 2, 1)
+    assert pts.shape == (15, 2)
+    # x-major order (manager_class.cpp:1607-1611)
+    np.testing.assert_array_equal(pts[0], [3, 6])
+    np.testing.assert_array_equal(pts[1], [3, 7])
+    np.testing.assert_array_equal(pts[-1], [7, 8])
+
+
+def test_decimation_rule():
+    pts = domains.rectangular_points(8, 8, 4, 4)  # ints 4..12
+    batch = domains.make_batch([pts], None, 2)
+    # level 1: even coords only, scaled by 1/2
+    lvl1 = batch.xy[1][0][batch.mask[1][0]]
+    assert len(lvl1) == 25  # 5x5 even grid
+    assert np.all(lvl1 * 2 % 2 == 0)
+    lvl2 = batch.xy[2][0][batch.mask[2][0]]
+    assert len(lvl2) == 9  # 4, 8, 12 each axis
+    # scaled by 1/4 (pyramid_class.cpp:312-314)
+    np.testing.assert_allclose(sorted(set(lvl2[:, 0])), [1.0, 2.0, 3.0])
+
+
+def test_annular_sector_points_inside_annulus():
+    pts = domains.annular_sector_points(
+        10.0, 10.0, 0.0, np.pi / 2, 50.0, 50.0, 4
+    )
+    assert len(pts) > 50
+    r = np.hypot(pts[:, 0] - 50, pts[:, 1] - 50)
+    assert np.all(r > 10.0) and np.all(r < 20.0)
+    # first-quadrant wedge
+    ang = np.arctan2(pts[:, 1] - 50, pts[:, 0] - 50)
+    assert np.all(ang > -0.2) and np.all(ang < np.pi / 2 + 0.2)
+
+
+def test_annular_gpu_semantics_angle_test():
+    cpu = domains.annular_sector_points(
+        8.0, 6.0, np.pi / 4, np.pi / 4, 40.0, 40.0, 8
+    )
+    gpu = domains.annular_sector_points(
+        8.0, 6.0, np.pi / 4, np.pi / 4, 40.0, 40.0, 8, gpu_semantics=True
+    )
+    # same region, slightly different edge handling
+    assert abs(len(cpu) - len(gpu)) < 0.2 * max(len(cpu), len(gpu))
+
+
+def test_annular_batch_and_centers():
+    dom = domains.AnnularDomain(60, 60, 10, 30, 2, 4)
+    batch = domains.annular_batch(dom, 1)
+    assert batch.num_subsets == 8
+    assert all(n > 0 for n in batch.n_points(0))
+    centers = domains.annular_sector_centers(dom)
+    assert centers.shape == (8, 2)
+    r = np.hypot(centers[:, 0] - 60, centers[:, 1] - 60)
+    np.testing.assert_allclose(r[:4], 15.0, atol=1e-4)
+    np.testing.assert_allclose(r[4:], 25.0, atol=1e-4)
+
+
+def test_blob_crossing_number_square():
+    contour = np.array([[2, 2], [10, 2], [10, 10], [2, 10]], np.float32)
+    pts = domains.blob_inside_points_crossing(contour)
+    # interior + some boundary pixels; must include strictly-inside pixels
+    inside = {(x, y) for x, y in pts.astype(int)}
+    for x in range(3, 10):
+        for y in range(3, 10):
+            assert (x, y) in inside
+
+
+def test_polygon_triangulation_square_and_concave():
+    square = np.array([[0, 0], [8, 0], [8, 8], [0, 8]], np.float32)
+    poly = Polygon(square)
+    assert not poly.error
+    assert len(poly.triangles) == 2
+    pts = poly.inside_points()
+    assert len(pts) >= 36
+
+    # concave L-shape
+    lshape = np.array(
+        [[0, 0], [10, 0], [10, 4], [4, 4], [4, 10], [0, 10]], np.float32
+    )
+    poly = Polygon(lshape)
+    assert not poly.error
+    assert len(poly.triangles) == 4
+    pts = poly.inside_points()
+    ins = {(int(x), int(y)) for x, y in pts}
+    assert (2, 8) in ins  # in the vertical arm
+    assert (8, 2) in ins  # in the horizontal arm
+    assert (8, 8) not in ins  # in the notch
+
+
+def test_polygon_self_intersection_rejected():
+    bowtie = np.array([[0, 0], [8, 8], [8, 0], [0, 8]], np.float32)
+    poly = Polygon(bowtie)
+    assert poly.error  # polygon_class.cpp:195-222 simpleLoop
+
+
+def test_blob_batch_rasterizer_agreement():
+    contour = np.array(
+        [[5, 5], [25, 6], [28, 20], [15, 28], [4, 18]], np.float32
+    )
+    tri = domains.blob_batch(
+        domains.BlobDomain(contour), 0, use_triangulation=True
+    )
+    cross = domains.blob_batch(
+        domains.BlobDomain(contour), 0, use_triangulation=False
+    )
+    n_tri = int(tri.n_points(0)[0])
+    n_cross = int(cross.n_points(0)[0])
+    # two rasterizers may differ on boundary pixels only
+    assert abs(n_tri - n_cross) < 0.15 * max(n_tri, n_cross)

@@ -1,0 +1,113 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from correlation_tpu.config import (
+    FittingModel,
+    Interpolation,
+    PyramidConfig,
+    SolverConfig,
+)
+from correlation_tpu.domains import make_batch
+from correlation_tpu.engine import _correlate_jit, correlate
+from correlation_tpu.ops.assemble import assemble_normal_equations
+from correlation_tpu.ops.interp import precompute_field, sample_integer
+from correlation_tpu.ops.pyramid import build_pyramid
+from correlation_tpu.parallel.collectives import (
+    assemble_pixel_sharded,
+    make_pixel_mesh,
+)
+from correlation_tpu.parallel.mesh import (
+    make_mesh,
+    pad_to_mesh,
+    replicate,
+    shard_inputs,
+)
+from synthetic import Speckle
+
+
+def _grid(x0, y0, x1, y1):
+    gx, gy = np.meshgrid(
+        np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
+    )
+    return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+
+
+def test_subset_sharded_solve_matches_single_device():
+    assert len(jax.devices()) == 8
+    spk = Speckle(80, 80, seed=41)
+    und = spk.image(quantize=True)[..., None]
+    dfm = spk.warped_image(u=0.9, v=-0.6, quantize=True)[..., None]
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 1),
+        precision=1e-5,
+    )
+    pts = [
+        _grid(14 + 7 * i, 14 + 5 * (i % 3), 14 + 7 * i + 12,
+              14 + 5 * (i % 3) + 12)
+        for i in range(6)  # 6 subsets -> padded to 8 for the mesh
+    ]
+    batch = make_batch(pts, None, 1)
+    params0 = np.zeros((6, 2), np.float32)
+
+    ref = correlate(
+        cfg,
+        build_pyramid(jnp.asarray(und), 1),
+        build_pyramid(jnp.asarray(dfm), 1),
+        batch,
+        params0,
+    )
+
+    mesh = make_mesh()
+    padded = pad_to_mesh(batch, mesh)
+    assert padded.num_subsets == 8
+    params_pad = np.zeros((8, 2), np.float32)
+    xy, mask, center0, p0 = shard_inputs(mesh, padded, params_pad)
+    pyr_u = replicate(mesh, build_pyramid(jnp.asarray(und), 1))
+    pyr_d = replicate(mesh, build_pyramid(jnp.asarray(dfm), 1))
+    out = _correlate_jit(cfg, None, pyr_u, pyr_d, xy, mask, center0, p0)
+
+    np.testing.assert_allclose(
+        np.asarray(out.params)[:6], np.asarray(ref.params), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.chi)[:6], np.asarray(ref.chi), rtol=1e-5
+    )
+    # padding lanes resolve to BAD_DOMAIN frozen subsets
+    assert np.all(np.asarray(out.error)[6:] != 0)
+
+
+def test_pixel_sharded_assembly_matches():
+    """BASELINE config 5: collective H/b reduction over a sharded pixel
+    axis."""
+    spk = Speckle(64, 64, seed=42)
+    und = spk.image(quantize=True)[..., None]
+    dfm = spk.warped_image(u=0.5, v=0.25, quantize=True)[..., None]
+    model = FittingModel.AFFINE
+    interp = Interpolation.BICUBIC
+
+    pts = _grid(12, 12, 51, 51)  # 1600 px, divisible by 8
+    xy = jnp.asarray(pts[None])
+    mask = jnp.ones((1, len(pts)), bool)
+    center = jnp.asarray(pts.mean(axis=0)[None])
+    params = jnp.asarray([[0.5, 0.25, 0.001, 0, 0, -0.001]], jnp.float32)
+
+    field = precompute_field(jnp.asarray(dfm), interp)
+    und_w = sample_integer(jnp.asarray(und), xy)
+
+    a1, b1, chi1, err1 = assemble_normal_equations(
+        model, interp, field, und_w, xy, mask, center, params
+    )
+
+    pmesh = make_pixel_mesh()
+    a2, b2, chi2, err2 = assemble_pixel_sharded(
+        pmesh, model, interp, field, und_w, xy, mask, center, params
+    )
+    np.testing.assert_allclose(a2, a1, rtol=1e-5)
+    np.testing.assert_allclose(b2, b1, rtol=1e-5)
+    np.testing.assert_allclose(chi2, chi1, rtol=1e-6)
+    assert bool(err2[0]) == bool(err1[0])

@@ -1,0 +1,152 @@
+import numpy as np
+import pytest
+
+from correlation_tpu.config import (
+    DeformationDescription,
+    FittingModel,
+    Interpolation,
+    PyramidConfig,
+    ReferenceImage,
+    SolverConfig,
+)
+from correlation_tpu.report import report_header, write_report
+from correlation_tpu.sequence import SequenceConfig, run_sequence
+from synthetic import Speckle
+
+
+def _frames(n, du, dv, h=96, w=96, seed=31):
+    spk = Speckle(h, w, seed=seed)
+    return [
+        spk.warped_image(u=du * t, v=dv * t, quantize=True)[..., None]
+        for t in range(n)
+    ]
+
+
+def _grid_pts(x0, y0, x1, y1):
+    gx, gy = np.meshgrid(
+        np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
+    )
+    return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+
+
+def _cfg(**kw):
+    solver = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 1),
+        precision=1e-5,
+    )
+    return SequenceConfig(solver=solver, **kw)
+
+
+def test_eulerian_first_accumulates_with_extrapolation():
+    """BASELINE config 4: multi-frame tracking with constant-velocity IC."""
+    du, dv = 0.62, -0.41
+    frames = _frames(5, du, dv)
+    pts = [_grid_pts(30, 30, 62, 62)]
+    cfg = _cfg(
+        deformation=DeformationDescription.EULERIAN,
+        reference=ReferenceImage.FIRST,
+    )
+    records = run_sequence(frames, pts, cfg)
+    assert len(records) == 4
+    for t, rec in enumerate(records):
+        np.testing.assert_allclose(
+            rec.params[0], [du * (t + 1), dv * (t + 1)], atol=0.02
+        )
+        assert rec.error[0] == 0
+    # constant-velocity extrapolation: later guesses predict the next step
+    guess3 = records[3].initial_guess[0]
+    np.testing.assert_allclose(guess3, [du * 4, dv * 4], atol=0.05)
+
+
+def test_lagrangian_previous_tracks_increments():
+    du, dv = 0.62, -0.41
+    frames = _frames(4, du, dv)
+    pts = [_grid_pts(30, 30, 62, 62)]
+    cfg = _cfg(
+        deformation=DeformationDescription.LAGRANGIAN,
+        reference=ReferenceImage.PREVIOUS,
+    )
+    records = run_sequence(frames, pts, cfg)
+    for rec in records:
+        np.testing.assert_allclose(rec.params[0], [du, dv], atol=0.05)
+    # und centers follow the material, quantized to whole pixels because
+    # Lagrangian point updates round (add_pair, manager_class.cpp:38-47)
+    c0 = records[0].und_center[0]
+    c2 = records[2].und_center[0]
+    np.testing.assert_allclose(c2 - c0, [2 * du, 2 * dv], atol=1.01)
+
+
+def test_strict_lagrangian_tracks_material():
+    """Strict Lagrangian carries float warped positions while undeformed
+    intensities are read at rounded pixels (interpolation_class.cpp:701-714),
+    so per-frame params absorb the sub-pixel rounding offset; the physical
+    invariant is that def_center stays on the material point."""
+    du, dv = 0.5, 0.3
+    frames = _frames(3, du, dv)
+    pts = [_grid_pts(30, 30, 60, 60)]
+    cfg = _cfg(
+        deformation=DeformationDescription.STRICT_LAGRANGIAN,
+        reference=ReferenceImage.PREVIOUS,
+    )
+    records = run_sequence(frames, pts, cfg)
+    assert len(records) == 2
+    true_center0 = np.array([45.0, 45.0])
+    for t, rec in enumerate(records):
+        assert rec.error[0] == 0
+        assert rec.chi[0] < 20
+        material = true_center0 + np.array([du, dv]) * (t + 1)
+        np.testing.assert_allclose(
+            rec.def_center[0], material, atol=0.75
+        )
+
+
+def test_report_columns():
+    frames = _frames(2, 0.4, 0.2)
+    pts = [_grid_pts(30, 30, 60, 60), _grid_pts(55, 55, 80, 80)]
+    cfg = _cfg()
+    records = run_sequence(frames, pts, cfg)
+    csv = write_report(records, file_names=["a.png", "b.png"])
+    lines = csv.strip().split("\n")
+    assert lines[0] == report_header(2)
+    assert len(lines) == 1 + 2  # header + 2 sectors x 1 frame pair
+    row = lines[1].split(",")
+    assert len(row) == len(lines[0].split(","))
+    assert row[0] == "0"
+    assert row[1] == "a.png" and row[2] == "b.png"
+    # chi column is finite and small-ish
+    header = lines[0].split(",")
+    chi = float(row[header.index("chi")])
+    assert 0 <= chi < 100
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from correlation_tpu.sequence import initial_track_state
+    from correlation_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    frames = _frames(3, 0.4, 0.2)
+    pts = [_grid_pts(30, 30, 60, 60)]
+    cfg = _cfg()
+    records = run_sequence(frames, pts, cfg)
+
+    state = initial_track_state(
+        pts, None, np.array([45.0, 45.0]), np.zeros(2, np.float32),
+        FittingModel.UV,
+    )
+    state.params = records[-1].params
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, 2, state, records)
+    nf, state2, records2 = load_checkpoint(path)
+    assert nf == 2
+    assert len(records2) == len(records)
+    np.testing.assert_allclose(state2.params, state.params)
+    np.testing.assert_allclose(
+        records2[0].params, records[0].params
+    )
+    np.testing.assert_allclose(
+        records2[1].def_center, records[1].def_center
+    )
