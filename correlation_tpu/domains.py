@@ -18,6 +18,7 @@ import math
 
 import numpy as np
 
+from correlation_tpu import native
 from correlation_tpu.config import DomainType
 
 PI = math.pi
@@ -78,10 +79,17 @@ def decimate_levels(
     s = xy0.shape[0]
     ix = np.floor(xy0[..., 0] + 0.5).astype(np.int64)
     iy = np.floor(xy0[..., 1] + 0.5).astype(np.int64)
+    use_native = native.available()
     for level in range(1, max_level + 1):
         mag = 1 << level
-        keep = mask0 & (ix % mag == 0) & (iy % mag == 0)
-        lists = [xy0[i][keep[i]] / np.float32(mag) for i in range(s)]
+        if use_native:
+            lists = [
+                native.decimate_points(xy0[i][mask0[i]], level)
+                for i in range(s)
+            ]
+        else:
+            keep = mask0 & (ix % mag == 0) & (iy % mag == 0)
+            lists = [xy0[i][keep[i]] / np.float32(mag) for i in range(s)]
         xs[level], ms[level] = _pad_points(lists)
     return xs, ms
 
@@ -222,6 +230,13 @@ def annular_sector_points(
     wedge test.  With gpu_semantics=True, uses the thrust functor's exact
     atan2 angle test instead (cuda_polygon.cuh:180-206).
     """
+    if native.available():
+        pts = native.annular_sector_points(
+            r, dr, a, da, cx, cy, as_, cpu_semantics=not gpu_semantics
+        )
+        if pts is not None:
+            return pts
+
     ro2 = (r + dr) * (r + dr)
     ri2 = r * r
     if as_ == 1:
@@ -349,6 +364,12 @@ def blob_inside_points_crossing(contour: np.ndarray) -> np.ndarray:
     n = len(contour)
     if n < 3:
         return np.zeros((0, 2), np.float32)
+    if native.available():
+        pts = native.rasterize_polygon_crossing(
+            contour.astype(np.float32)
+        )
+        if pts is not None:
+            return pts
     x0 = int(np.ceil(contour[:, 0].min()))
     x1 = int(np.floor(contour[:, 0].max()))
     y0 = int(np.ceil(contour[:, 1].min()))
