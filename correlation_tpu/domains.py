@@ -45,10 +45,20 @@ class SubsetBatch:
         return self.mask[level].sum(axis=1)
 
 
-def _pad_points(point_lists: list[np.ndarray], pad_to_multiple: int = 8):
-    """Pad ragged per-sector point lists to a common length."""
+def _pad_points(
+    point_lists: list[np.ndarray],
+    pad_to_multiple: int = 8,
+    pad_to: int | None = None,
+):
+    """Pad ragged per-sector point lists to a common length.
+
+    pad_to fixes the padded length (used to keep shapes — and therefore
+    compiled programs — stable across frames); it is grown if insufficient.
+    """
     max_p = max((len(p) for p in point_lists), default=0)
     max_p = max(max_p, 1)
+    if pad_to is not None:
+        max_p = max(max_p, pad_to)
     max_p = -(-max_p // pad_to_multiple) * pad_to_multiple
     s = len(point_lists)
     xy = np.zeros((s, max_p, 2), np.float32)
@@ -65,6 +75,7 @@ def decimate_levels(
     xy0: np.ndarray,
     mask0: np.ndarray,
     levels: list[int],
+    pad_to: list[int] | None = None,
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Build per-level point arrays by the %2^l decimation rule.
 
@@ -90,7 +101,9 @@ def decimate_levels(
         else:
             keep = mask0 & (ix % mag == 0) & (iy % mag == 0)
             lists = [xy0[i][keep[i]] / np.float32(mag) for i in range(s)]
-        xs[level], ms[level] = _pad_points(lists)
+        xs[level], ms[level] = _pad_points(
+            lists, pad_to=pad_to[level] if pad_to else None
+        )
     return xs, ms
 
 
@@ -98,20 +111,26 @@ def make_batch(
     point_lists: list[np.ndarray],
     centers: np.ndarray | None,
     max_level: int,
+    pad_to: list[int] | None = None,
 ) -> SubsetBatch:
     """Assemble a SubsetBatch from per-sector level-0 point lists.
 
     centers: [S, 2] explicit centers, or None to use the mean of each
     sector's points (reference 3-arg Newton_Raphson overload,
     pyramid_class.cpp:325-347).
+    pad_to: per-level padded point counts to hold shapes stable across
+    frames (avoids jit recompilation when domains move).
     """
     xy0, mask0 = _pad_points(
-        [np.asarray(p, np.float32).reshape(-1, 2) for p in point_lists]
+        [np.asarray(p, np.float32).reshape(-1, 2) for p in point_lists],
+        pad_to=pad_to[0] if pad_to else None,
     )
     if centers is None:
         n = np.maximum(mask0.sum(axis=1), 1)[:, None]
         centers = (xy0 * mask0[..., None]).sum(axis=1) / n
-    xs, ms = decimate_levels(xy0, mask0, list(range(max_level + 1)))
+    xs, ms = decimate_levels(
+        xy0, mask0, list(range(max_level + 1)), pad_to
+    )
     return SubsetBatch(xs, ms, np.asarray(centers, np.float32))
 
 

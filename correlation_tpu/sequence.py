@@ -68,6 +68,8 @@ class FrameRecord:
     def_global_center: np.ndarray  # [2]
     und_global_angle: float
     def_global_angle: float
+    und_contours: list | None = None  # per-sector [Nc, 2]
+    def_contours: list | None = None  # per-sector [Nc, 2]
 
 
 @dataclasses.dataclass
@@ -88,6 +90,9 @@ class _TrackState:
     def_global_center: np.ndarray  # [2]
     def_global_angle: float
     explicit_centers: bool  # rectangular domains pass centers explicitly
+    und_contours: list | None = None  # per-sector [Nc, 2] float
+    def_contours: list | None = None
+    pad_to: list | None = None  # per-level padded point counts
 
 
 def initial_track_state(
@@ -96,6 +101,7 @@ def initial_track_state(
     global_center: np.ndarray,
     global_guess: np.ndarray,
     model: FittingModel,
+    contours: list | None = None,
 ) -> _TrackState:
     """Frame-0 setup: per-sector guess customization from the global guess.
 
@@ -135,6 +141,11 @@ def initial_track_state(
         def_global_center=np.asarray(global_center, np.float32),
         def_global_angle=0.0,
         explicit_centers=explicit,
+        und_contours=(
+            [np.asarray(c, np.float32) for c in contours]
+            if contours is not None
+            else None
+        ),
     )
 
 
@@ -164,6 +175,13 @@ def advance_domain(
             _round_points(p + offset[i])
             for i, p in enumerate(state.und_points)
         ]
+        if state.und_contours is not None:
+            # contours move by the rounded center offset too
+            # (manager_class.cpp:386-389, add_pair)
+            state.und_contours = [
+                _round_points(c + offset[i])
+                for i, c in enumerate(state.und_contours)
+            ]
     else:  # strict Lagrangian: every point individually warped
         state.und_points = [
             np.asarray(
@@ -176,6 +194,10 @@ def advance_domain(
             )
             for i, p in enumerate(state.und_points)
         ]
+        if state.def_contours is not None:
+            # und contour becomes last frame's deformed contour
+            # (manager_class.cpp:362-365)
+            state.und_contours = [c.copy() for c in state.def_contours]
     state.und_center = new_center
     state.und_angle = state.def_angle.copy()
 
@@ -211,6 +233,18 @@ def update_results(
         np.asarray(rotation_angle(model, jnp.asarray(params)))
         + state.und_angle
     )
+    if state.und_contours is not None:
+        # contour warped about the und GLOBAL center
+        # (manager_class.cpp:2404-2427)
+        gc = jnp.asarray(state.und_global_center)
+        state.def_contours = [
+            np.asarray(
+                warp_points(
+                    model, jnp.asarray(params[i]), jnp.asarray(c), gc
+                )
+            )
+            for i, c in enumerate(state.und_contours)
+        ]
     n = n_points.astype(np.float64)
     total = max(n.sum(), 1.0)
     state.def_global_angle = float((state.def_angle * n).sum() / total)
@@ -228,27 +262,36 @@ def _uv(params: np.ndarray) -> np.ndarray:
 
 
 def run_sequence(
-    frames: list[np.ndarray],
+    frames,
     point_lists: list[np.ndarray],
     cfg: SequenceConfig,
     global_guess: np.ndarray | None = None,
     centers: np.ndarray | None = None,
     global_center: np.ndarray | None = None,
+    contours: list | None = None,
+    should_stop=None,
+    meter=None,
 ) -> list[FrameRecord]:
     """Correlate a frame sequence.
 
     Args:
-      frames: list of [H, W, C] float32 images (uint8-valued), length >= 2.
+      frames: list of [H, W, C] float32 images (uint8-valued), length >= 2,
+        or any callable idx -> image (e.g. a FramePrefetcher.get).
       point_lists: per-sector level-0 undeformed points (frame 0).
       cfg: sequence configuration.
       global_guess: [NP] global initial guess (default zeros).
       centers: [S, 2] explicit sector centers (rectangular domains), or None
         to use per-sector point means (annular/blob).
       global_center: [2] domain global center (defaults to mean of centers).
+      contours: optional per-sector contour polylines to track.
+      should_stop: optional () -> bool cooperative-cancel poll (the batched
+        analog of the reference's stop_flag, manager_class.h:200).
+      meter: optional utils.profiling.SolveMeter to accumulate solves/s.
 
     Returns:
       One FrameRecord per frame pair.
     """
+    n_frames = len(frames)
     solver = cfg.solver
     model = solver.model
     num_params = solver.num_params
@@ -263,7 +306,8 @@ def run_sequence(
         global_center = cs.mean(axis=0)
 
     state = initial_track_state(
-        point_lists, centers, global_center, global_guess, model
+        point_lists, centers, global_center, global_guess, model,
+        contours=contours,
     )
 
     stop = solver.pyramid.stop
@@ -281,8 +325,10 @@ def run_sequence(
         return pyramids[idx]
 
     records: list[FrameRecord] = []
-    total_pairs = len(frames) - 1
+    total_pairs = n_frames - 1
     for frame in range(total_pairs):
+        if should_stop is not None and should_stop():
+            break
         und_idx = 0 if cfg.reference == ReferenceImage.FIRST else frame
         def_idx = frame + 1
 
@@ -290,18 +336,30 @@ def run_sequence(
             advance_domain(state, cfg, model)
             advance_guess(state, cfg)
 
+        # Stable padded shapes across frames: the compiled solve is reused
+        # as long as the (grown-once) pad targets hold.
         batch = make_batch(
             state.und_points,
             state.und_center if state.explicit_centers else None,
             stop,
+            pad_to=state.pad_to,
         )
-        result = correlate(
-            solver,
-            pyramid_of(und_idx),
-            pyramid_of(def_idx),
-            batch,
-            state.guess,
-        )
+        state.pad_to = [a.shape[1] for a in batch.xy]
+        if meter is not None:
+            ctx = meter.measure(batch.num_subsets)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            result = correlate(
+                solver,
+                pyramid_of(und_idx),
+                pyramid_of(def_idx),
+                batch,
+                state.guess,
+            )
+            result = type(result)(*[r.block_until_ready() for r in result])
         params = np.asarray(result.params)
         und_center = np.asarray(result.center)
         n_points = np.asarray(result.n_points)
@@ -326,6 +384,16 @@ def run_sequence(
                 def_global_center=state.def_global_center.copy(),
                 und_global_angle=state.und_global_angle,
                 def_global_angle=state.def_global_angle,
+                und_contours=(
+                    [c.copy() for c in state.und_contours]
+                    if state.und_contours is not None
+                    else None
+                ),
+                def_contours=(
+                    [c.copy() for c in state.def_contours]
+                    if state.def_contours is not None
+                    else None
+                ),
             )
         )
 
@@ -333,3 +401,30 @@ def run_sequence(
         if any_error and cfg.error_mode == ErrorMode.STOP_ALL:
             break
     return records
+
+
+def run_sequence_from_files(
+    paths: list[str],
+    point_lists: list[np.ndarray],
+    cfg: SequenceConfig,
+    monochrome: bool = True,
+    **kwargs,
+) -> list[FrameRecord]:
+    """run_sequence over image files with background decode prefetch
+    (the analog of the reference's async next-image load,
+    manager_class.cpp:1438-1447)."""
+    from correlation_tpu.io import FramePrefetcher
+
+    prefetcher = FramePrefetcher(paths, monochrome=monochrome)
+
+    class _LazyFrames:
+        def __len__(self):
+            return len(paths)
+
+        def __getitem__(self, idx):
+            return prefetcher.get(idx)
+
+    try:
+        return run_sequence(_LazyFrames(), point_lists, cfg, **kwargs)
+    finally:
+        prefetcher.close()

@@ -38,6 +38,12 @@ def save_checkpoint(
     }
     for i, pts in enumerate(state.und_points):
         payload[f"und_points_{i}"] = pts
+    if state.und_contours is not None:
+        for i, c in enumerate(state.und_contours):
+            payload[f"und_contour_{i}"] = np.asarray(c)
+    if state.def_contours is not None:
+        for i, c in enumerate(state.def_contours):
+            payload[f"def_contour_{i}"] = np.asarray(c)
     for field in (
         "und_center",
         "past_und_center",
@@ -54,6 +60,11 @@ def save_checkpoint(
     for r, rec in enumerate(records):
         for f in dataclasses.fields(FrameRecord):
             v = getattr(rec, f.name)
+            if f.name in ("und_contours", "def_contours"):
+                if v is not None:
+                    for ci, c in enumerate(v):
+                        payload[f"rec{r}_{f.name}_{ci}"] = np.asarray(c)
+                continue
             payload[f"rec{r}_{f.name}"] = np.asarray(v)
     payload["meta"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
@@ -85,11 +96,29 @@ def load_checkpoint(path: str):
         def_global_center=data["state_def_global_center"],
         def_global_angle=float(meta["def_global_angle"]),
         explicit_centers=bool(meta["explicit_centers"]),
+        und_contours=(
+            [data[f"und_contour_{i}"] for i in range(meta["num_sectors"])]
+            if "und_contour_0" in data
+            else None
+        ),
+        def_contours=(
+            [data[f"def_contour_{i}"] for i in range(meta["num_sectors"])]
+            if "def_contour_0" in data
+            else None
+        ),
     )
     records = []
+    num_sectors = meta["num_sectors"]
     for r in range(meta["num_records"]):
         kwargs = {}
         for f in dataclasses.fields(FrameRecord):
+            if f.name in ("und_contours", "def_contours"):
+                keys = [f"rec{r}_{f.name}_{ci}" for ci in range(num_sectors)]
+                if keys[0] in data:
+                    kwargs[f.name] = [data[k] for k in keys if k in data]
+                else:
+                    kwargs[f.name] = None
+                continue
             v = data[f"rec{r}_{f.name}"]
             if f.name == "frame":
                 v = int(v)

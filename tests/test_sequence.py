@@ -150,3 +150,40 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         records2[1].def_center, records[1].def_center
     )
+
+
+def test_contour_tracking_and_cancel(tmp_path):
+    from PIL import Image
+
+    from correlation_tpu.domains import rectangular_contour
+    from correlation_tpu.sequence import run_sequence_from_files
+
+    du, dv = 0.62, -0.41
+    frames = _frames(4, du, dv)
+    paths = []
+    for t, f in enumerate(frames):
+        p = str(tmp_path / f"f{t}.png")
+        Image.fromarray(f[..., 0].astype(np.uint8)).save(p)
+        paths.append(p)
+
+    pts = [_grid_pts(30, 30, 62, 62)]
+    contours = [rectangular_contour(46, 46, 16, 16)]
+    cfg = _cfg()
+
+    calls = {"n": 0}
+
+    def stop_after_two():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    records = run_sequence_from_files(
+        paths, pts, cfg, contours=contours, should_stop=stop_after_two
+    )
+    assert len(records) == 2  # cancelled before the third pair
+    rec = records[1]
+    assert rec.def_contours is not None
+    # the deformed contour is the undeformed one translated by (u, v)
+    shift = rec.def_contours[0] - rec.und_contours[0]
+    np.testing.assert_allclose(
+        shift, np.tile([[2 * du, 2 * dv]], (4, 1)), atol=0.05
+    )
