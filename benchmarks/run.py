@@ -1,0 +1,289 @@
+"""Benchmark suite for the BASELINE.json configurations.
+
+Usage:
+  python benchmarks/run.py            # all configs
+  python benchmarks/run.py --config 5 --subsets 16384
+
+Prints one JSON line per config:
+  {"config": N, "metric": ..., "value": ..., "unit": ..., ...}
+
+Configs (BASELINE.json):
+  1  single rectangular subset, translation warp, 1 level, 2 frames
+  2  affine 6-param warp, 3-level pyramid, bicubic
+  3  annular + blob masked domains, full pyramid schedule
+  4  10-frame sequence with constant-velocity initial-guess extrapolation
+  5  dense 10k+ subset grid (collective H/b reduction when multi-device)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def _speckle(h, w, seed=0):
+    from synthetic import Speckle
+
+    return Speckle(h, w, seed=seed, density=0.02)
+
+
+def _emit(config, metric, value, unit, **extra):
+    print(
+        json.dumps(
+            {
+                "config": config,
+                "metric": metric,
+                "value": round(float(value), 2),
+                "unit": unit,
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _time(fn, reps=3):
+    import jax
+
+    jax.block_until_ready(fn())  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def config1():
+    import jax.numpy as jnp
+
+    from correlation_tpu.config import (
+        FittingModel, Interpolation, PyramidConfig, SolverConfig,
+    )
+    from correlation_tpu.domains import make_batch, rectangular_points
+    from correlation_tpu.engine import correlate
+
+    spk = _speckle(256, 256)
+    und = spk.image(quantize=True)[..., None]
+    dfm = spk.warped_image(u=1.3, v=-0.7, quantize=True)[..., None]
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+    )
+    pts = rectangular_points(128, 128, 15, 15)
+    batch = make_batch([pts], None, 0)
+
+    def run():
+        return correlate(
+            cfg, [jnp.asarray(und)], [jnp.asarray(dfm)], batch,
+            np.zeros((1, 2), np.float32),
+        )
+
+    res = run()
+    err = np.hypot(
+        float(res.params[0, 0]) - 1.3, float(res.params[0, 1]) + 0.7
+    )
+    dt = _time(run)
+    _emit(1, "single_subset_solve_latency", dt * 1e3, "ms",
+          recovery_err_px=round(err, 4))
+
+
+def _dense_problem(num_subsets, half=10, stop=2, img_hw=1024):
+    import jax.numpy as jnp
+
+    from correlation_tpu.config import (
+        FittingModel, Interpolation, PyramidConfig, SolverConfig,
+    )
+    from correlation_tpu.domains import make_batch, rectangular_points
+    from correlation_tpu.ops.pyramid import build_pyramid
+
+    spk = _speckle(img_hw, img_hw, seed=3)
+    und = spk.image(quantize=True)
+    aff = np.array([[0.003, -0.002], [0.002, 0.004]])
+    dfm = spk.warped_image(
+        u=1.7, v=-1.1, affine=aff, center=(img_hw / 2, img_hw / 2),
+        quantize=True,
+    )
+    cfg = SolverConfig(
+        model=FittingModel.AFFINE,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, stop),
+    )
+    side = int(np.ceil(np.sqrt(num_subsets)))
+    margin = 6 * half
+    coords = np.linspace(margin, img_hw - margin, side)
+    pts, centers = [], []
+    for cy in coords:
+        for cx in coords:
+            if len(pts) == num_subsets:
+                break
+            pts.append(rectangular_points(int(cx), int(cy), half, half))
+            centers.append((int(cx), int(cy)))
+    batch = make_batch(pts, np.array(centers, np.float32), stop)
+    und_pyr = build_pyramid(jnp.asarray(und[..., None]), stop)
+    def_pyr = build_pyramid(jnp.asarray(dfm[..., None]), stop)
+    return cfg, und_pyr, def_pyr, batch
+
+
+def config2(num_subsets=1024):
+    from correlation_tpu.engine import correlate
+
+    cfg, und_pyr, def_pyr, batch = _dense_problem(num_subsets)
+
+    def run():
+        return correlate(
+            cfg, und_pyr, def_pyr, batch,
+            np.zeros((batch.num_subsets, 6), np.float32),
+        )
+
+    res = run()
+    ok = float(np.mean(np.asarray(res.error) == 0))
+    dt = _time(run)
+    _emit(2, "affine_pyramid_solves_per_s", num_subsets / dt, "solves/s",
+          subsets=num_subsets, converged_frac=round(ok, 4),
+          mean_iters=round(float(np.mean(np.asarray(res.iterations))), 2))
+
+
+def config3():
+    import math
+
+    import jax.numpy as jnp
+
+    from correlation_tpu.config import (
+        FittingModel, Interpolation, PyramidConfig, SolverConfig,
+    )
+    from correlation_tpu.domains import (
+        AnnularDomain, BlobDomain, annular_batch, blob_batch,
+    )
+    from correlation_tpu.engine import correlate
+    from correlation_tpu.ops.pyramid import build_pyramid
+
+    spk = _speckle(512, 512, seed=5)
+    und = spk.image(quantize=True)
+    dfm = spk.warped_image(u=0.8, v=0.6, quantize=True)
+    cfg = SolverConfig(
+        model=FittingModel.UVQ,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 2),
+    )
+    und_pyr = build_pyramid(jnp.asarray(und[..., None]), 2)
+    def_pyr = build_pyramid(jnp.asarray(dfm[..., None]), 2)
+
+    ann = annular_batch(
+        AnnularDomain(256, 256, 60, 160, 2, 8), 2
+    )
+    theta = np.linspace(0, 2 * math.pi, 24, endpoint=False)
+    contour = np.stack(
+        [256 + 90 * np.cos(theta), 256 + 70 * np.sin(theta)], -1
+    ).astype(np.float32)
+    blob = blob_batch(BlobDomain(contour), 2)
+
+    for name, batch in [("annular", ann), ("blob", blob)]:
+        def run():
+            return correlate(
+                cfg, und_pyr, def_pyr, batch,
+                np.zeros((batch.num_subsets, 3), np.float32),
+            )
+
+        res = run()
+        dt = _time(run)
+        _emit(3, f"{name}_masked_solves_per_s", batch.num_subsets / dt,
+              "solves/s", subsets=batch.num_subsets,
+              points=int(batch.n_points(0).sum()),
+              errors=int((np.asarray(res.error) != 0).sum()))
+
+
+def config4():
+    from correlation_tpu.config import (
+        FittingModel, Interpolation, PyramidConfig, SolverConfig,
+    )
+    from correlation_tpu.domains import rectangular_points
+    from correlation_tpu.sequence import SequenceConfig, run_sequence
+    from correlation_tpu.utils.profiling import SolveMeter
+
+    spk = _speckle(384, 384, seed=7)
+    frames = [
+        spk.warped_image(u=0.6 * t, v=-0.35 * t, quantize=True)[..., None]
+        for t in range(11)
+    ]
+    solver = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 2),
+    )
+    cfg = SequenceConfig(solver=solver)
+    pts = [
+        rectangular_points(80 + 56 * i, 80 + 56 * j, 12, 12)
+        for i in range(4)
+        for j in range(4)
+    ]
+    meter = SolveMeter()
+    records = run_sequence(frames, pts, cfg, meter=meter)
+    drift = records[-1].params.mean(axis=0)
+    _emit(4, "sequence_subset_solves_per_s", meter.solves_per_s, "solves/s",
+          frames=len(records), sectors=len(pts),
+          final_u=round(float(drift[0]), 3),
+          final_v=round(float(drift[1]), 3))
+
+
+def config5(num_subsets=10240):
+    import jax
+
+    from correlation_tpu.engine import _correlate_jit, compute_level_statics
+    from correlation_tpu.parallel.mesh import (
+        make_mesh, pad_to_mesh, replicate, shard_inputs,
+    )
+
+    cfg, und_pyr, def_pyr, batch = _dense_problem(
+        num_subsets, half=10, stop=1
+    )
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    batch = pad_to_mesh(batch, mesh)
+    params0 = np.zeros((batch.num_subsets, 6), np.float32)
+    xy, mask, center0, p0 = shard_inputs(mesh, batch, params0)
+    und_pyr = replicate(mesh, und_pyr)
+    def_pyr = replicate(mesh, def_pyr)
+
+    def run():
+        return _correlate_jit(
+            cfg, None, und_pyr, def_pyr, xy, mask, center0, p0
+        )
+
+    dt = _time(run)
+    _emit(5, "dense_grid_sharded_solves_per_s", num_subsets / dt,
+          "solves/s", subsets=num_subsets, devices=n_dev)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0, help="0 = all")
+    ap.add_argument("--subsets", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    fns = {
+        1: config1,
+        2: lambda: config2(args.subsets or 1024),
+        3: config3,
+        4: config4,
+        5: lambda: config5(args.subsets or 10240),
+    }
+    targets = [args.config] if args.config else sorted(fns)
+    for c in targets:
+        fns[c]()
+
+
+if __name__ == "__main__":
+    main()
