@@ -163,6 +163,7 @@ def solve_level(
                 level.def_img.shape[1],
                 static.tile_h,
                 static.tile_w,
+                align=static.use_dma,
             )
             fn = (
                 pk.fused_assemble if static.use_dma
@@ -486,9 +487,12 @@ def resolve_backend(cfg: SolverConfig, num_colors: int) -> str:
     """
     if cfg.backend != "auto":
         return cfg.backend
-    # TODO(round 1): flip auto to the fused Pallas kernel on TPU once the
-    # kernel is validated on hardware (the axon tunnel in this environment
-    # wedged during first bring-up; interpret-mode parity is green).
+    # The coefficient-field XLA path measures faster than the fused Pallas
+    # kernel on v5e for typical subset sizes (the kernel's dense per-pixel
+    # weight construction is VPU-bound on lane-padded arrays and roughly
+    # ties the XLA gather), so auto = XLA.  "pallas" (tiles, validated on
+    # hardware) and "pallas_dma" (manual DMA, experimental) remain
+    # selectable.
     del num_colors
     return "xla"
 
@@ -517,10 +521,11 @@ def compute_level_statics(
             ext_x = ext_y = 1
         h, w = int(def_pyramid[lvl].shape[0]), int(def_pyramid[lvl].shape[1])
         hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
-        th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
-        out.append(
-            (lvl, LevelStatic(th, tw, h, w, cfg.backend == "pallas_dma"))
+        use_dma = cfg.backend == "pallas_dma"
+        th, tw = choose_tile(
+            ext_y, ext_x, hp, wp, cfg.tile_margin, for_dma=use_dma
         )
+        out.append((lvl, LevelStatic(th, tw, h, w, use_dma)))
     return tuple(out)
 
 

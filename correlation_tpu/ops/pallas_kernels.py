@@ -117,9 +117,9 @@ def _g_columns(model: FittingModel, dwdx, dwdy, dxc, dyc, v, bad):
     return jnp.concatenate(cols, axis=1)
 
 
-def _warp(model: FittingModel, params_ref, x, y, dxc, dyc):
-    """Apply the warp with parameters read from the per-subset block."""
-    p = [params_ref[0, k] for k in range(6)]
+def _warp(model: FittingModel, get_param, x, y, dxc, dyc):
+    """Apply the warp; get_param(k) reads the k-th scalar parameter."""
+    p = [get_param(k) for k in range(6)]
     if model == FittingModel.U:
         return x + p[0], y
     if model == FittingModel.UV:
@@ -142,17 +142,17 @@ def _sample_and_reduce(
     tile_h: int,
     tile_w: int,
     pix,
-    params_ref,
+    get_param,
     x0,
     y0,
     get_tile,
 ):
     """Shared kernel core: warp, separable sample, G^T G reduction.
 
-    pix: [P, 8] packed pixel block; x0/y0: this subset's tile origin
-    (scalars); get_tile(): returns the [tile_h, tile_w] image tile (called
-    after the weights are built so a DMA can overlap them).
-    Returns the [8, 8] Gram matrix.
+    pix: [P, 8] packed pixel block; get_param(k): scalar parameter reader;
+    x0/y0: this subset's tile origin (scalars); get_tile(): returns the
+    [tile_h, tile_w] image tile (called after the weights are built so a
+    DMA can overlap them).  Returns the [8, 8] Gram matrix.
     """
     bicubic = interp == Interpolation.BICUBIC
 
@@ -164,7 +164,7 @@ def _sample_and_reduce(
         dxc = pix[:, _COL_DXC : _COL_DXC + 1]
         dyc = pix[:, _COL_DYC : _COL_DYC + 1]
 
-        xd, yd = _warp(model, params_ref, x, y, dxc, dyc)
+        xd, yd = _warp(model, get_param, x, y, dxc, dyc)
 
         if bicubic:
             # interpolation_class.cpp:82-83 (strict window)
@@ -296,7 +296,7 @@ def _make_kernel(
 
         out_ref[0] = _sample_and_reduce(
             model, interp, img_h, img_w, tile_h, tile_w,
-            pixdata_ref[0], params_ref, x0, y0, get_tile,
+            pixdata_ref[0], lambda k: params_ref[0, 0, k], x0, y0, get_tile,
         )
 
     return kernel
@@ -309,17 +309,21 @@ def _make_tiles_kernel(
     img_w: int,
     tile_h: int,
     tile_w: int,
+    block: int,
 ):
     """Tiles-as-input kernel: tiles are pre-extracted with XLA and arrive
-    through the standard blocked-input pipeline (no manual DMA)."""
+    through the standard blocked-input pipeline (no manual DMA).  Each grid
+    step processes `block` subsets to amortize per-step overhead."""
 
     def kernel(pixdata_ref, params_ref, org_ref, tiles_ref, out_ref):
-        out_ref[0] = _sample_and_reduce(
-            model, interp, img_h, img_w, tile_h, tile_w,
-            pixdata_ref[0], params_ref,
-            org_ref[0, 1], org_ref[0, 0],
-            lambda: tiles_ref[0],
-        )
+        for b in range(block):
+            out_ref[b] = _sample_and_reduce(
+                model, interp, img_h, img_w, tile_h, tile_w,
+                pixdata_ref[b],
+                lambda k, _b=b: params_ref[_b, 0, k],
+                org_ref[b, 0, 1], org_ref[b, 0, 0],
+                lambda _b=b: tiles_ref[_b],
+            )
 
     return kernel
 
@@ -365,9 +369,9 @@ def fused_assemble(
     num_p = params.shape[-1]
     padded_h, padded_w = img.shape
 
-    # pad params to the 6 slots the kernel reads + 2 spare -> [S, 8]
-    scal = jnp.zeros((s, 8), jnp.float32)
-    scal = scal.at[:, :num_p].set(params)
+    # pad params to the 6 slots the kernel reads + 2 spare -> [S, 1, 8]
+    scal = jnp.zeros((s, 1, 8), jnp.float32)
+    scal = scal.at[:, 0, :num_p].set(params)
 
     kernel = _make_kernel(
         model, interp, img_h, img_w, padded_h, padded_w, tile_h, tile_w
@@ -383,7 +387,8 @@ def fused_assemble(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8), lambda i, org: (i, 0), memory_space=pltpu.VMEM
+                (1, 1, 8), lambda i, org: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),  # img stays in HBM
         ],
@@ -429,7 +434,7 @@ def extract_tiles(img: jax.Array, origins: jax.Array, tile_h: int,
     return jax.vmap(one)(origins)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 10))
 def fused_assemble_tiles(
     model: FittingModel,
     interp: Interpolation,
@@ -441,37 +446,50 @@ def fused_assemble_tiles(
     pixdata: jax.Array,
     params: jax.Array,
     origins: jax.Array,
+    block: int = 8,
 ) -> FusedAssembly:
     """fused_assemble variant without manual DMA: tiles are pre-extracted
-    with XLA and streamed through the standard blocked-input pipeline."""
+    with XLA and streamed through the standard blocked-input pipeline,
+    `block` subsets per grid step."""
     s, p_pad, _ = pixdata.shape
     num_p = params.shape[-1]
+    block = max(1, min(block, s))
+    s_pad = -(-s // block) * block
+    if s_pad != s:
+        grow = s_pad - s
+        pixdata = jnp.pad(pixdata, ((0, grow), (0, 0), (0, 0)))
+        params = jnp.pad(params, ((0, grow), (0, 0)))
+        origins = jnp.pad(origins, ((0, grow), (0, 0)))
 
-    scal = jnp.zeros((s, 8), jnp.float32)
-    scal = scal.at[:, :num_p].set(params)
+    scal = jnp.zeros((s_pad, 1, 8), jnp.float32)
+    scal = scal.at[:, 0, :num_p].set(params)
     tiles = extract_tiles(img, origins, tile_h, tile_w)
 
-    kernel = _make_tiles_kernel(model, interp, img_h, img_w, tile_h, tile_w)
+    kernel = _make_tiles_kernel(
+        model, interp, img_h, img_w, tile_h, tile_w, block
+    )
     out = pl.pallas_call(
         kernel,
-        grid=(s,),
+        grid=(s_pad // block,),
         in_specs=[
-            pl.BlockSpec((1, p_pad, 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((block, p_pad, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile_h, tile_w), lambda i: (i, 0, 0),
+            pl.BlockSpec((block, 1, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, tile_h, tile_w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, 8), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block, 8, 8), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s, 8, 8), jnp.float32),
-    )(pixdata, scal, origins, tiles)
+        out_shape=jax.ShapeDtypeStruct((s_pad, 8, 8), jnp.float32),
+    )(pixdata, scal, origins[:, None, :], tiles)
 
-    a_mat = out[:, :num_p, :num_p]
-    b_vec = out[:, :num_p, num_p]
-    chi = out[:, num_p, num_p]
-    err = out[:, num_p + 1, num_p + 1] > 0.0
+    a_mat = out[:s, :num_p, :num_p]
+    b_vec = out[:s, :num_p, num_p]
+    chi = out[:s, num_p, num_p]
+    err = out[:s, num_p + 1, num_p + 1] > 0.0
     return FusedAssembly(a_mat, b_vec, chi, err)
 
 
@@ -528,21 +546,27 @@ def compute_origins(
     padded_w: int,
     tile_h: int,
     tile_w: int,
+    align: bool = True,
 ) -> jax.Array:
     """Tile origins from the warped subset bounding box.
 
     bbox: [S, 4, 2] the four corners of each subset's axis-aligned bounding
     box (all supported warps are affine, so warped corners bound the warped
-    subset).  Origins cover the spline halo, align DOWN to the (8, 128) DMA
-    tiling, and clip inside the padded image.
+    subset).  Origins cover the spline halo and clip inside the padded
+    image; align=True additionally aligns DOWN to the (8, 128) tiling the
+    manual-DMA kernel requires (the tiles kernel extracts with
+    dynamic_slice and needs no alignment).
     """
     from correlation_tpu.models.warp import warp_points
 
     corners = warp_points(model, params, bbox, center)  # [S, 4, 2]
     halo = 1 if interp == Interpolation.BICUBIC else 0
     min_xy = jnp.floor(jnp.min(corners, axis=1)) - (halo + 1)
-    x0 = min_xy[..., 0].astype(jnp.int32) & ~127
-    y0 = min_xy[..., 1].astype(jnp.int32) & ~7
+    x0 = min_xy[..., 0].astype(jnp.int32)
+    y0 = min_xy[..., 1].astype(jnp.int32)
+    if align:
+        x0 = x0 & ~127
+        y0 = y0 & ~7
     x0 = jnp.clip(x0, 0, max(padded_w - tile_w, 0))
     y0 = jnp.clip(y0, 0, max(padded_h - tile_h, 0))
     # NaN-poisoned parameters: force origin 0 so the kernel's validity logic
@@ -559,11 +583,20 @@ def choose_tile(
     padded_h: int,
     padded_w: int,
     margin: int = 8,
+    for_dma: bool = False,
 ) -> tuple[int, int]:
-    """Static tile dims covering the warped subset + spline halo + the
-    alignment slack of the DMA origin (rows align to 8, columns to 128)."""
-    need_h = extent_y + 4 + margin + 7
-    need_w = extent_x + 4 + margin + 127
-    th = min(-(-need_h // 8) * 8, padded_h)
-    tw = min(-(-need_w // 128) * 128, padded_w)
+    """Static tile dims covering the warped subset + spline halo + warp
+    margin.  for_dma adds the origin-alignment slack of the manual-DMA
+    kernel (origins align down to (8, 128)); the tiles kernel extracts at
+    exact offsets and keeps tiles tight."""
+    if for_dma:
+        need_h = extent_y + 4 + margin + 7
+        need_w = extent_x + 4 + margin + 127
+        th = min(-(-need_h // 8) * 8, padded_h)
+        tw = min(-(-need_w // 128) * 128, padded_w)
+    else:
+        need_h = extent_y + 4 + margin
+        need_w = extent_x + 4 + margin
+        th = min(-(-need_h // 8) * 8, padded_h)
+        tw = min(-(-need_w // 8) * 8, padded_w)
     return int(th), int(tw)

@@ -99,10 +99,13 @@ def test_fused_assembly_matches_xla(model, interp, use_dma):
          np.stack([maxs[:, 0], mins[:, 1]], -1), maxs], 1,
     )
     ext = int(np.ceil((maxs - mins).max()))
-    th, tw = pk.choose_tile(ext, ext, imgp.shape[0], imgp.shape[1])
+    th, tw = pk.choose_tile(
+        ext, ext, imgp.shape[0], imgp.shape[1], for_dma=use_dma
+    )
     org = pk.compute_origins(
         model, interp, jnp.asarray(bbox), jnp.asarray(center),
         jnp.asarray(params), imgp.shape[0], imgp.shape[1], th, tw,
+        align=use_dma,
     )
     fn = pk.fused_assemble if use_dma else pk.fused_assemble_tiles
     out = fn(model, interp, th, tw, h, w, imgp, pix, jnp.asarray(params),
@@ -144,6 +147,7 @@ def test_out_of_image_flagged():
     org = pk.compute_origins(
         model, interp, jnp.asarray(bbox), jnp.asarray(center),
         jnp.asarray(params), imgp.shape[0], imgp.shape[1], th, tw,
+        align=False,
     )
     out = pk.fused_assemble_tiles(
         model, interp, th, tw, h, w, imgp, pix, jnp.asarray(params), org
