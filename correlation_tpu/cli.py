@@ -95,6 +95,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="force the CPU backend (before any jax use)")
     ap.add_argument("--report", type=str, default="-",
                     help="report CSV path ('-' = stdout)")
+    ap.add_argument("--plot-dir", type=str, default=None,
+                    help="write per-frame overlay PNGs (contours + centers) "
+                         "here — the headless analog of the GUI overlays")
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="checkpoint .npz path; resumes from it if present "
+                         "and re-saves as the run advances")
+    ap.add_argument("--checkpoint-every", type=int, default=1,
+                    metavar="N", help="save the checkpoint every N frame "
+                    "pairs (default 1)")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     return ap
 
 
@@ -119,6 +130,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     stop = solver.pyramid.stop
 
+    from correlation_tpu import viz
+
     centers = None
     global_center = None
     if args.domain == "rect":
@@ -137,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
         ]
         centers = cs
         global_center = np.array([dom.x_center, dom.y_center], np.float32)
+        contours = [
+            viz.rect_outline(c[0] - xdim, c[1] - ydim,
+                             c[0] + xdim, c[1] + ydim)
+            for c in cs
+        ]
     elif args.domain == "annular":
         if not args.annulus:
             print("--annulus required", file=sys.stderr)
@@ -153,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
             for i in range(batch0.num_subsets)
         ]
         global_center = np.array([cx, cy], np.float32)
+        contours = viz.annulus_outlines(
+            cx, cy, ri, ro,
+            radial_subdivisions=args.annular_subdivisions[0],
+            angular_subdivisions=args.annular_subdivisions[1],
+        )
     else:
         if not args.blob:
             print("--blob required", file=sys.stderr)
@@ -164,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
         global_center = np.array(
             [dom.x_center, dom.y_center], np.float32
         )
+        contours = [contour.astype(np.float32)]
 
     prefetcher = FramePrefetcher(args.images, monochrome=not args.color)
     frames = [prefetcher.get(i) for i in range(len(args.images))]
@@ -181,14 +205,29 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
 
-    records = run_sequence(
-        frames,
-        point_lists,
-        cfg,
-        global_guess=guess,
-        centers=centers,
-        global_center=global_center,
-    )
+    import contextlib
+
+    if args.profile:
+        import jax
+
+        prof_ctx = jax.profiler.trace(args.profile)
+    else:
+        prof_ctx = contextlib.nullcontext()
+    with prof_ctx:
+        records = run_sequence(
+            frames,
+            point_lists,
+            cfg,
+            global_guess=guess,
+            centers=centers,
+            global_center=global_center,
+            contours=contours,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
+        )
+    if args.plot_dir:
+        paths = viz.save_sequence_overlays(frames, records, args.plot_dir)
+        print(f"wrote {len(paths)} overlay images to {args.plot_dir}")
     csv = write_report(
         records,
         file_names=args.images,

@@ -271,6 +271,9 @@ def run_sequence(
     contours: list | None = None,
     should_stop=None,
     meter=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 1,
+    on_frame=None,
 ) -> list[FrameRecord]:
     """Correlate a frame sequence.
 
@@ -287,6 +290,13 @@ def run_sequence(
       should_stop: optional () -> bool cooperative-cancel poll (the batched
         analog of the reference's stop_flag, manager_class.h:200).
       meter: optional utils.profiling.SolveMeter to accumulate solves/s.
+      checkpoint_path: optional .npz path; if it exists the run resumes from
+        it, and the chained state is re-saved every `checkpoint_every`
+        completed frame pairs (and at cancel/stop).
+      checkpoint_every: checkpoint save period in frame pairs.
+      on_frame: optional callback(record) after each frame pair — the
+        headless analog of the reference's live plotting signals
+        (manager_class.cpp:488-516).
 
     Returns:
       One FrameRecord per frame pair.
@@ -305,10 +315,21 @@ def run_sequence(
         )
         global_center = cs.mean(axis=0)
 
-    state = initial_track_state(
-        point_lists, centers, global_center, global_guess, model,
-        contours=contours,
-    )
+    start_frame = 0
+    records: list[FrameRecord] = []
+    state = None
+    if checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            from correlation_tpu.utils.checkpoint import load_checkpoint
+
+            start_frame, state, records = load_checkpoint(checkpoint_path)
+    if state is None:
+        state = initial_track_state(
+            point_lists, centers, global_center, global_guess, model,
+            contours=contours,
+        )
 
     stop = solver.pyramid.stop
     pyramids: dict[int, list] = {}
@@ -324,10 +345,16 @@ def run_sequence(
                     pyramids.pop(k)
         return pyramids[idx]
 
-    records: list[FrameRecord] = []
+    def save_ckpt(next_frame: int) -> None:
+        if checkpoint_path is not None:
+            from correlation_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, next_frame, state, records)
+
     total_pairs = n_frames - 1
-    for frame in range(total_pairs):
+    for frame in range(start_frame, total_pairs):
         if should_stop is not None and should_stop():
+            save_ckpt(frame)
             break
         und_idx = 0 if cfg.reference == ReferenceImage.FIRST else frame
         def_idx = frame + 1
@@ -397,8 +424,14 @@ def run_sequence(
             )
         )
 
+        if on_frame is not None:
+            on_frame(records[-1])
+
         any_error = bool((errors != int(ErrorCode.NONE)).any())
-        if any_error and cfg.error_mode == ErrorMode.STOP_ALL:
+        stop_now = any_error and cfg.error_mode == ErrorMode.STOP_ALL
+        if stop_now or (frame + 1) % max(checkpoint_every, 1) == 0:
+            save_ckpt(frame + 1)
+        if stop_now:
             break
     return records
 

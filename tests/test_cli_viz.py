@@ -1,0 +1,197 @@
+"""CLI end-to-end, checkpoint/resume through run_sequence, and viz."""
+
+import numpy as np
+import pytest
+
+from correlation_tpu.config import (
+    DeformationDescription,
+    FittingModel,
+    Interpolation,
+    PyramidConfig,
+    ReferenceImage,
+    SolverConfig,
+)
+from correlation_tpu.sequence import SequenceConfig, run_sequence
+from synthetic import Speckle
+
+
+def _frames(n, du, dv, h=96, w=96, seed=7):
+    spk = Speckle(h, w, seed=seed)
+    return [
+        spk.warped_image(u=du * t, v=dv * t, quantize=True)[..., None]
+        for t in range(n)
+    ]
+
+
+def _grid_pts(x0, y0, x1, y1):
+    gx, gy = np.meshgrid(
+        np.arange(x0, x1 + 1), np.arange(y0, y1 + 1), indexing="ij"
+    )
+    return np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+
+
+def _cfg():
+    solver = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 1),
+        precision=1e-5,
+    )
+    return SequenceConfig(
+        solver=solver,
+        deformation=DeformationDescription.EULERIAN,
+        reference=ReferenceImage.FIRST,
+    )
+
+
+def test_sequence_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """A cancelled+resumed run reproduces the uninterrupted trajectory."""
+    du, dv = 0.55, -0.35
+    frames = _frames(5, du, dv)
+    pts = [_grid_pts(30, 30, 62, 62)]
+
+    full = run_sequence(frames, pts, _cfg())
+
+    path = str(tmp_path / "run.npz")
+    calls = {"n": 0}
+
+    def stop_after_two():
+        calls["n"] += 1
+        return calls["n"] > 2
+
+    part1 = run_sequence(
+        frames, pts, _cfg(), should_stop=stop_after_two,
+        checkpoint_path=path,
+    )
+    assert len(part1) == 2
+
+    resumed = run_sequence(frames, pts, _cfg(), checkpoint_path=path)
+    assert len(resumed) == 4
+    for a, b in zip(full, resumed):
+        np.testing.assert_allclose(a.params, b.params, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(
+            a.initial_guess, b.initial_guess, rtol=0, atol=1e-6
+        )
+        np.testing.assert_allclose(a.chi, b.chi, rtol=1e-5, atol=1e-7)
+
+
+def test_viz_preview_and_outlines():
+    from correlation_tpu import viz
+
+    out = viz.rect_outline(10, 20, 50, 60, points_per_edge=8)
+    assert out.shape == (33, 2)
+    np.testing.assert_allclose(out[0], out[-1])  # closed
+    assert out[:, 0].min() == 10 and out[:, 0].max() == 50
+    assert out[:, 1].min() == 20 and out[:, 1].max() == 60
+
+    rings = viz.annulus_outlines(64, 64, 10, 30, 2, 4)
+    assert len(rings) == 8
+    for ring in rings:
+        r = np.hypot(ring[:, 0] - 64, ring[:, 1] - 64)
+        assert r.min() >= 10 - 1e-4 and r.max() <= 30 + 1e-4
+
+    # identity warp preview leaves the outline untouched
+    prev = viz.preview_warp(
+        FittingModel.UV, np.zeros(2, np.float32), out, np.array([30.0, 40.0])
+    )
+    np.testing.assert_allclose(prev, out, atol=1e-6)
+    # pure translation
+    prev = viz.preview_warp(
+        FittingModel.UV, np.array([2.0, -3.0], np.float32), out,
+        np.array([30.0, 40.0]),
+    )
+    np.testing.assert_allclose(prev, out + [2.0, -3.0], atol=1e-5)
+
+
+def test_viz_overlay_rendering(tmp_path):
+    from correlation_tpu import viz
+
+    frames = _frames(3, 0.6, -0.4)
+    pts = [_grid_pts(30, 30, 62, 62)]
+    contours = [viz.rect_outline(30, 30, 62, 62)]
+    records = run_sequence(frames, pts, _cfg(), contours=contours)
+
+    out_dir = str(tmp_path / "plots")
+    paths = viz.save_sequence_overlays(frames, records, out_dir)
+    assert len(paths) == 3  # und + one per frame pair
+    from PIL import Image
+
+    for p in paths:
+        img = Image.open(p)
+        assert img.size == (96, 96)
+        arr = np.asarray(img.convert("RGB"))
+        # overlay drew something green (contour) and red (centers)
+        assert (arr[..., 1].astype(int) - arr[..., 0]).max() > 50
+
+
+def test_cli_end_to_end(tmp_path):
+    from PIL import Image
+
+    from correlation_tpu.cli import main
+
+    frames = _frames(4, 0.6, -0.4)
+    paths = []
+    for t, f in enumerate(frames):
+        p = str(tmp_path / f"f{t}.png")
+        Image.fromarray(f[..., 0].astype(np.uint8)).save(p)
+        paths.append(p)
+
+    report = str(tmp_path / "out.csv")
+    plot_dir = str(tmp_path / "plots")
+    ckpt = str(tmp_path / "run.npz")
+    rc = main(
+        paths
+        + [
+            "--domain", "rect", "--rect", "30", "30", "62", "62",
+            "--model", "uv", "--interp", "bicubic",
+            "--pyramid", "0", "1", "1",
+            "--report", report,
+            "--plot-dir", plot_dir,
+            "--checkpoint", ckpt,
+        ]
+    )
+    assert rc == 0
+    import os
+
+    lines = open(report).read().strip().splitlines()
+    assert len(lines) == 1 + 3  # header + 3 pairs x 1 sector
+    assert os.path.exists(ckpt)
+    assert len(os.listdir(plot_dir)) == 4
+
+    # resume from the finished checkpoint: no new work, same report rows
+    rc = main(
+        paths
+        + [
+            "--domain", "rect", "--rect", "30", "30", "62", "62",
+            "--model", "uv", "--interp", "bicubic",
+            "--pyramid", "0", "1", "1",
+            "--report", report + ".2",
+            "--checkpoint", ckpt,
+        ]
+    )
+    assert rc == 0
+    lines2 = open(report + ".2").read().strip().splitlines()
+    assert lines2 == lines
+
+
+def test_cli_argument_errors(tmp_path):
+    from PIL import Image
+
+    from correlation_tpu.cli import main
+
+    f = _frames(2, 0.0, 0.0)
+    paths = []
+    for t, img in enumerate(f):
+        p = str(tmp_path / f"f{t}.png")
+        Image.fromarray(img[..., 0].astype(np.uint8)).save(p)
+        paths.append(p)
+
+    assert main(paths + ["--domain", "rect"]) == 2  # missing --rect
+    assert (
+        main(
+            paths
+            + ["--domain", "rect", "--rect", "10", "10", "40", "40",
+               "--model", "uv", "--guess", "1.0"]
+        )
+        == 2
+    )  # wrong guess length
