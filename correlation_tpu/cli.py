@@ -106,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "pairs (default 1)")
     ap.add_argument("--profile", type=str, default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
+    ap.add_argument("--shard", action="store_true",
+                    help="shard the sector batch over every visible device "
+                         "(multi-chip / multi-host data parallelism)")
     return ap
 
 
@@ -115,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    mesh = None
+    if args.shard:
+        from correlation_tpu.parallel.mesh import init_distributed, make_mesh
+
+        init_distributed()
+        mesh = make_mesh()
     solver = SolverConfig(
         model=_MODELS[args.model],
         interpolation=_INTERPS[args.interp],
@@ -224,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
             contours=contours,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            mesh=mesh,
         )
     if args.plot_dir:
         paths = viz.save_sequence_overlays(frames, records, args.plot_dir)

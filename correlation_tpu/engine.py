@@ -535,6 +535,7 @@ def correlate(
     def_pyramid,
     subsets,
     params0,
+    mesh=None,
 ) -> CorrelationResult:
     """End-to-end batched correlation of one frame pair.
 
@@ -544,26 +545,63 @@ def correlate(
         (see ops.pyramid.build_pyramid).
       subsets: a domains.SubsetBatch.
       params0: [S, NP] initial guesses (level-0 scale).
+      mesh: optional jax.sharding.Mesh (parallel.mesh.make_mesh) — the
+        subset axis shards across it (data parallelism over sectors,
+        SURVEY.md §2.3-5); images replicate; XLA inserts the collectives.
 
     Returns:
-      CorrelationResult.
+      CorrelationResult (always with the caller's S subsets — mesh padding
+      is added and stripped internally).
     """
     num_colors = int(und_pyramid[0].shape[-1])
     backend = resolve_backend(cfg, num_colors)
+    # The fused Pallas kernel is single-device; under a mesh the program
+    # must be pure XLA so jit can partition it.
+    use_pallas = _backend_uses_pallas(backend) and mesh is None
     statics = (
         compute_level_statics(cfg, subsets, def_pyramid)
-        if _backend_uses_pallas(backend)
+        if use_pallas
         else None
     )
-    xy = [jnp.asarray(a) for a in subsets.xy]
-    mask = [jnp.asarray(a) for a in subsets.mask]
-    return _correlate_jit(
+    params0 = np.asarray(params0, np.float32)
+    orig_s = subsets.num_subsets
+    if mesh is not None:
+        from correlation_tpu.parallel.mesh import (
+            pad_to_mesh,
+            replicate,
+            shard_inputs,
+        )
+
+        subsets = pad_to_mesh(subsets, mesh)
+        if params0.shape[0] != subsets.num_subsets:
+            params0 = np.pad(
+                params0,
+                ((0, subsets.num_subsets - orig_s), (0, 0)),
+            )
+        xy, mask, center0, params = shard_inputs(mesh, subsets, params0)
+        und_pyramid = replicate(
+            mesh, [jnp.asarray(a) for a in und_pyramid]
+        )
+        def_pyramid = replicate(
+            mesh, [jnp.asarray(a) for a in def_pyramid]
+        )
+    else:
+        xy = [jnp.asarray(a) for a in subsets.xy]
+        mask = [jnp.asarray(a) for a in subsets.mask]
+        center0 = jnp.asarray(subsets.center0)
+        params = jnp.asarray(params0)
+        und_pyramid = [jnp.asarray(a) for a in und_pyramid]
+        def_pyramid = [jnp.asarray(a) for a in def_pyramid]
+    res = _correlate_jit(
         cfg,
         statics,
-        [jnp.asarray(a) for a in und_pyramid],
-        [jnp.asarray(a) for a in def_pyramid],
+        und_pyramid,
+        def_pyramid,
         xy,
         mask,
-        jnp.asarray(subsets.center0),
-        jnp.asarray(params0, jnp.float32),
+        center0,
+        params,
     )
+    if res.params.shape[0] != orig_s:
+        res = CorrelationResult(*[r[:orig_s] for r in res])
+    return res

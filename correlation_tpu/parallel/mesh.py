@@ -24,6 +24,47 @@ from correlation_tpu.domains import SubsetBatch
 SUBSET_AXIS = "subsets"
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> bool:
+    """Initialize jax.distributed for a multi-host run.
+
+    Multi-host is the scaling axis the single-node reference never had
+    (SURVEY.md §2.3-4: its multi-GPU path is vestigial).  Call once per
+    process before any other jax use; afterwards make_mesh() spans every
+    chip in the pod and the subset axis shards across hosts, with H/b and
+    convergence collectives riding ICI/DCN.
+
+    No-op (returns False) when neither arguments nor the standard cluster
+    environment variables announce a multi-process setting, so single-host
+    runs need no special casing.
+    """
+    import os
+
+    import jax
+
+    env_says_cluster = any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+    )
+    if coordinator_address is None and num_processes is None and not env_says_cluster:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    return True
+
+
 def make_mesh(devices=None) -> Mesh:
     """1-D mesh over all (or the given) devices."""
     if devices is None:

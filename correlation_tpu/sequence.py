@@ -274,6 +274,7 @@ def run_sequence(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 1,
     on_frame=None,
+    mesh=None,
 ) -> list[FrameRecord]:
     """Correlate a frame sequence.
 
@@ -297,6 +298,8 @@ def run_sequence(
       on_frame: optional callback(record) after each frame pair — the
         headless analog of the reference's live plotting signals
         (manager_class.cpp:488-516).
+      mesh: optional jax.sharding.Mesh; the subset axis shards across it
+        (see engine.correlate).
 
     Returns:
       One FrameRecord per frame pair.
@@ -385,6 +388,7 @@ def run_sequence(
                 pyramid_of(def_idx),
                 batch,
                 state.guess,
+                mesh=mesh,
             )
             result = type(result)(*[r.block_until_ready() for r in result])
         params = np.asarray(result.params)

@@ -111,3 +111,80 @@ def test_pixel_sharded_assembly_matches():
     np.testing.assert_allclose(b2, b1, rtol=1e-5)
     np.testing.assert_allclose(chi2, chi1, rtol=1e-6)
     assert bool(err2[0]) == bool(err1[0])
+
+
+def test_correlate_mesh_argument_matches_unsharded():
+    """The first-class mesh= path: pad/shard/strip handled internally."""
+    spk = Speckle(80, 80, seed=13)
+    und = spk.image(quantize=True)[..., None]
+    dfm = spk.warped_image(u=0.7, v=0.3, quantize=True)[..., None]
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 1),
+        precision=1e-5,
+    )
+    pts = [
+        _grid(14 + 7 * i, 14 + 5 * (i % 3), 14 + 7 * i + 12,
+              14 + 5 * (i % 3) + 12)
+        for i in range(5)  # deliberately not divisible by 8
+    ]
+    batch = make_batch(pts, None, 1)
+    params0 = np.zeros((5, 2), np.float32)
+    pyr_u = build_pyramid(jnp.asarray(und), 1)
+    pyr_d = build_pyramid(jnp.asarray(dfm), 1)
+
+    ref = correlate(cfg, pyr_u, pyr_d, batch, params0)
+    out = correlate(cfg, pyr_u, pyr_d, batch, params0, mesh=make_mesh())
+
+    assert out.params.shape[0] == 5  # padding stripped
+    np.testing.assert_allclose(
+        np.asarray(out.params), np.asarray(ref.params), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.chi), np.asarray(ref.chi), rtol=1e-5
+    )
+
+
+def test_run_sequence_sharded_matches_unsharded():
+    from correlation_tpu.config import (
+        DeformationDescription,
+        ReferenceImage,
+    )
+    from correlation_tpu.sequence import SequenceConfig, run_sequence
+
+    spk = Speckle(80, 80, seed=5)
+    frames = [
+        spk.warped_image(u=0.5 * t, v=-0.3 * t, quantize=True)[..., None]
+        for t in range(3)
+    ]
+    cfg = SequenceConfig(
+        solver=SolverConfig(
+            model=FittingModel.UV,
+            interpolation=Interpolation.BICUBIC,
+            pyramid=PyramidConfig(0, 1, 1),
+            precision=1e-5,
+        ),
+        deformation=DeformationDescription.EULERIAN,
+        reference=ReferenceImage.FIRST,
+    )
+    pts = [_grid(20, 20, 44, 44), _grid(40, 40, 64, 64)]
+
+    ref = run_sequence(frames, pts, cfg)
+    out = run_sequence(frames, pts, cfg, mesh=make_mesh())
+    assert len(ref) == len(out) == 2
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(a.params, b.params, atol=2e-5)
+        np.testing.assert_allclose(a.chi, b.chi, rtol=1e-5)
+
+
+def test_init_distributed_noop_single_host(monkeypatch):
+    from correlation_tpu.parallel.mesh import init_distributed
+
+    for k in (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    ):
+        monkeypatch.delenv(k, raising=False)
+    assert init_distributed() is False
