@@ -191,3 +191,45 @@ def test_out_of_image_initial_guess_freezes_subset():
     # healthy subset converged to identity
     np.testing.assert_allclose(np.asarray(res.params)[0], [0.0, 0.0],
                                atol=1e-3)
+
+
+def test_color_translation_recovery():
+    """RGB correlation: chi and H/b sum over channels
+    (the reference's color loops, interpolation_class.cpp:701-749)."""
+    true_u, true_v = 0.84, -0.47
+    chans_und, chans_def = [], []
+    for seed in (3, 4, 5):
+        spk = Speckle(64, 64, seed=seed)
+        chans_und.append(spk.image())
+        chans_def.append(spk.warped_image(u=true_u, v=true_v))
+    und = np.stack(chans_und, -1)
+    dfm = np.stack(chans_def, -1)
+
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+        precision=1e-6,
+    )
+    pts = _grid(20, 20, 44, 44)
+    batch = make_batch([pts], None, 0)
+    res = correlate(
+        cfg,
+        [jnp.asarray(und)],
+        [jnp.asarray(dfm)],
+        batch,
+        np.zeros((1, 2), np.float32),
+    )
+    assert int(res.error[0]) == int(ErrorCode.NONE)
+    np.testing.assert_allclose(
+        np.asarray(res.params)[0], [true_u, true_v], atol=8e-3
+    )
+    # chi across 3 channels is ~3x any single channel's
+    single = correlate(
+        cfg,
+        [jnp.asarray(und[..., :1])],
+        [jnp.asarray(dfm[..., :1])],
+        batch,
+        np.zeros((1, 2), np.float32),
+    )
+    assert float(res.chi[0]) > float(single.chi[0])
