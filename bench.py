@@ -85,7 +85,10 @@ def main():
 
     def run():
         res = correlate(cfg, und_pyr, def_pyr, batch, params0)
-        jax.block_until_ready(res.params)
+        # Force a device->host readback: through tunneled/async PJRT
+        # plugins block_until_ready can return before execution finishes,
+        # which would make the measurement dispatch-only.
+        np.asarray(res.params[:1])
         return res
 
     run()  # warmup / compile

@@ -29,9 +29,11 @@ sys.path.insert(0, "tests")
 
 
 def _speckle(h, w, seed=0):
-    from synthetic import Speckle
+    # FourierTexture: exactly-warpable like Speckle but O(n_waves)/pixel, so
+    # the 1024^2 dense-grid images generate in seconds instead of minutes.
+    from synthetic import FourierTexture
 
-    return Speckle(h, w, seed=seed, density=0.02)
+    return FourierTexture(h, w, seed=seed)
 
 
 def _emit(config, metric, value, unit, **extra):
@@ -49,14 +51,21 @@ def _emit(config, metric, value, unit, **extra):
     )
 
 
-def _time(fn, reps=3):
+def _sync(out):
+    """Force completion with a real device->host readback (through
+    tunneled/async PJRT plugins block_until_ready can return early)."""
     import jax
 
-    jax.block_until_ready(fn())  # compile
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[:1] if hasattr(leaf, "shape") and leaf.ndim else leaf)
+    return out
+
+
+def _time(fn, reps=3):
+    _sync(fn())  # compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
+        _sync(fn())
     return (time.perf_counter() - t0) / reps
 
 
@@ -224,6 +233,9 @@ def config4():
         for i in range(4)
         for j in range(4)
     ]
+    # Warm the compile cache with an identically-shaped 2-frame run so the
+    # meter reports steady-state sequence throughput.
+    run_sequence(frames[:2], pts, cfg)
     meter = SolveMeter()
     records = run_sequence(frames, pts, cfg, meter=meter)
     drift = records[-1].params.mean(axis=0)

@@ -64,3 +64,40 @@ class Speckle:
         if quantize:
             img = np.floor(img)
         return img.astype(np.float32)
+
+
+class FourierTexture:
+    """Band-limited random trigonometric field — exactly warpable like
+    Speckle but O(n_waves) per point, so large benchmark images are cheap.
+
+    f(x, y) = bias + sum_k a_k sin(kx_k x + ky_k y + phi_k)
+    """
+
+    def __init__(self, h: int, w: int, seed: int = 0, n_waves: int = 64,
+                 max_freq: float = 0.12):
+        rng = np.random.default_rng(seed)
+        ang = rng.uniform(0, 2 * np.pi, n_waves)
+        # cycles/pixel kept far below Nyquist so bicubic interpolation can
+        # represent the field accurately (like the reference's speckle)
+        mag = rng.uniform(0.02, max_freq, n_waves) * 2 * np.pi
+        self.kx = (mag * np.cos(ang)).astype(np.float64)
+        self.ky = (mag * np.sin(ang)).astype(np.float64)
+        self.phi = rng.uniform(0, 2 * np.pi, n_waves)
+        amp = rng.uniform(0.5, 1.0, n_waves)
+        # rms contrast ~= 35 gray levels; peaks stay inside [0, 255] so the
+        # clip never kinks the field (kinks break bicubic representability)
+        amp = amp * (35.0 / np.sqrt(np.sum(amp**2) / 2.0))
+        self.amp = amp
+        self.h, self.w = h, w
+
+    def eval(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        xf = np.asarray(x, np.float64)[..., None]
+        yf = np.asarray(y, np.float64)[..., None]
+        out = 127.0 + np.sum(
+            self.amp * np.sin(xf * self.kx + yf * self.ky + self.phi),
+            axis=-1,
+        )
+        return np.clip(out, 0.0, 255.0)
+
+    image = Speckle.image
+    warped_image = Speckle.warped_image
