@@ -126,11 +126,15 @@ class SolverConfig:
     lambda_max: float = 1e9
     lambda_up: float = 10.0
     lambda_down: float = 0.4
-    # Assembly backend: "auto" picks the fused Pallas kernel on TPU and the
-    # pure-XLA path elsewhere; "xla" / "pallas" force one.
+    # Assembly backend: "auto" picks xla_sep (zero-gather separable tiles,
+    # fastest measured on v5e); "xla" forces the coefficient-field + gather
+    # path (no tile-extent limits on the warp); "pallas" / "pallas_dma"
+    # force the hand-written fused kernels.
     backend: str = "auto"
-    # Extra pixels of warp headroom in the Pallas image tiles (beyond the
-    # subset extent + spline halo + DMA alignment slack).
+    # Extra pixels of warp headroom in the image tiles of the xla_sep and
+    # Pallas backends (beyond the subset extent + spline halo + alignment
+    # slack): warps that grow the subset span by more than this flag the
+    # subset out-of-image.
     tile_margin: int = 8
 
     @property

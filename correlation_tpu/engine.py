@@ -52,7 +52,10 @@ from correlation_tpu.config import (
     SolverConfig,
 )
 from correlation_tpu.models.warp import translate_params
-from correlation_tpu.ops.assemble import assemble_normal_equations
+from correlation_tpu.ops.assemble import (
+    assemble_normal_equations,
+    assemble_normal_equations_tiles,
+)
 from correlation_tpu.ops.interp import (
     InterpField,
     precompute_field,
@@ -87,13 +90,14 @@ class LevelArrays(NamedTuple):
 
 
 class LevelStatic(NamedTuple):
-    """Static (hashable) per-level info for the Pallas backend."""
+    """Static (hashable) per-level info for the tiled backends."""
 
     tile_h: int
     tile_w: int
     img_h: int  # TRUE image dims (validity windows)
     img_w: int
     use_dma: bool = False  # manual in-kernel DMA vs XLA tile extraction
+    sep: bool = False  # pure-XLA separable-tiles backend (xla_sep)
 
 
 class LevelResult(NamedTuple):
@@ -149,7 +153,25 @@ def solve_level(
     s = params0.shape[0]
     f32 = jnp.float32
 
-    if level.pixdata is not None:
+    if static is not None and static.sep:
+
+        def assemble(params):
+            return assemble_normal_equations_tiles(
+                model,
+                interp,
+                level.def_img,
+                static.img_h,
+                static.img_w,
+                static.tile_h,
+                static.tile_w,
+                level.und_w,
+                level.xy,
+                level.mask,
+                level.center,
+                params,
+            )
+
+    elif level.pixdata is not None:
         from correlation_tpu.ops import pallas_kernels as pk
 
         def assemble(params):
@@ -361,6 +383,16 @@ def prepare_levels(
             out[lvl] = LevelArrays(
                 xy, mask, center, und_w, n_points, def_field=def_field
             )
+        elif statics[lvl].sep:
+            st = statics[lvl]
+            img = def_pyramid[lvl]
+            pad_h = max(st.tile_h - img.shape[0], 0)
+            pad_w = max(st.tile_w - img.shape[1], 0)
+            if pad_h or pad_w:
+                img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+            out[lvl] = LevelArrays(
+                xy, mask, center, und_w, n_points, def_img=img
+            )
         else:
             from correlation_tpu.ops import pallas_kernels as pk
 
@@ -482,19 +514,18 @@ def _correlate_jit(
 def resolve_backend(cfg: SolverConfig, num_colors: int) -> str:
     """Pick the assembly backend.
 
-    The fused Pallas kernel runs on TPU for monochrome images; everything
-    else takes the pure-XLA path (which runs anywhere and supports color).
+    auto = xla_sep: the zero-gather separable-tiles path (pure XLA, runs
+    anywhere, supports color, mesh-partitionable) measures fastest on v5e —
+    TPU gathers stream far below HBM bandwidth, so it beats the
+    coefficient-field gather path ~4x, and XLA pipelines its big batched
+    matmuls better than the per-subset Pallas grid.  "xla" (field + gather;
+    no tile-extent limit on warps), "pallas" (fused kernel, validated on
+    hardware) and "pallas_dma" (manual DMA, experimental) stay selectable.
     """
     if cfg.backend != "auto":
         return cfg.backend
-    # The coefficient-field XLA path measures faster than the fused Pallas
-    # kernel on v5e for typical subset sizes (the kernel's dense per-pixel
-    # weight construction is VPU-bound on lane-padded arrays and roughly
-    # ties the XLA gather), so auto = XLA.  "pallas" (tiles, validated on
-    # hardware) and "pallas_dma" (manual DMA, experimental) remain
-    # selectable.
     del num_colors
-    return "xla"
+    return "xla_sep"
 
 
 def _backend_uses_pallas(backend: str) -> bool:
@@ -502,11 +533,13 @@ def _backend_uses_pallas(backend: str) -> bool:
 
 
 def compute_level_statics(
-    cfg: SolverConfig, subsets, def_pyramid
+    cfg: SolverConfig, subsets, def_pyramid, backend: str | None = None
 ) -> tuple[tuple[int, "LevelStatic"], ...]:
-    """Host-side static tile dims per level for the Pallas backend."""
+    """Host-side static tile dims per level for the tiled backends."""
     from correlation_tpu.ops.pallas_kernels import choose_tile
 
+    backend = backend or cfg.backend
+    sep = backend == "xla_sep"
     out = []
     for lvl in cfg.pyramid.levels_coarse_to_fine():
         xy = np.asarray(subsets.xy[lvl])
@@ -520,12 +553,17 @@ def compute_level_statics(
         else:
             ext_x = ext_y = 1
         h, w = int(def_pyramid[lvl].shape[0]), int(def_pyramid[lvl].shape[1])
-        hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
-        use_dma = cfg.backend == "pallas_dma"
-        th, tw = choose_tile(
-            ext_y, ext_x, hp, wp, cfg.tile_margin, for_dma=use_dma
-        )
-        out.append((lvl, LevelStatic(th, tw, h, w, use_dma)))
+        if sep:
+            use_dma = False
+            hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+            th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
+        else:
+            hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+            use_dma = backend == "pallas_dma"
+            th, tw = choose_tile(
+                ext_y, ext_x, hp, wp, cfg.tile_margin, for_dma=use_dma
+            )
+        out.append((lvl, LevelStatic(th, tw, h, w, use_dma, sep)))
     return tuple(out)
 
 
@@ -556,11 +594,13 @@ def correlate(
     num_colors = int(und_pyramid[0].shape[-1])
     backend = resolve_backend(cfg, num_colors)
     # The fused Pallas kernel is single-device; under a mesh the program
-    # must be pure XLA so jit can partition it.
-    use_pallas = _backend_uses_pallas(backend) and mesh is None
+    # must be pure XLA so jit can partition it (xla_sep is pure XLA and
+    # partitions fine — the tile dynamic_slices become per-shard gathers).
+    if _backend_uses_pallas(backend) and mesh is not None:
+        backend = "xla_sep"
     statics = (
-        compute_level_statics(cfg, subsets, def_pyramid)
-        if use_pallas
+        compute_level_statics(cfg, subsets, def_pyramid, backend)
+        if backend != "xla"
         else None
     )
     params0 = np.asarray(params0, np.float32)
