@@ -40,11 +40,17 @@ def test_subset_sharded_solve_matches_single_device():
     spk = Speckle(80, 80, seed=41)
     und = spk.image(quantize=True)[..., None]
     dfm = spk.warped_image(u=0.9, v=-0.6, quantize=True)[..., None]
+    # backend="xla" on BOTH sides: the sharded call below goes through
+    # _correlate_jit with statics=None (the field backend), so the unsharded
+    # reference must use the same backend — this test measures sharding
+    # parity, not cross-backend agreement (which has its own test with its
+    # own tolerance in test_assemble.py).
     cfg = SolverConfig(
         model=FittingModel.UV,
         interpolation=Interpolation.BICUBIC,
         pyramid=PyramidConfig(0, 1, 1),
         precision=1e-5,
+        backend="xla",
     )
     pts = [
         _grid(14 + 7 * i, 14 + 5 * (i % 3), 14 + 7 * i + 12,
