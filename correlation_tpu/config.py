@@ -126,10 +126,10 @@ class SolverConfig:
     lambda_max: float = 1e9
     lambda_up: float = 10.0
     lambda_down: float = 0.4
-    # Assembly backend: "auto" picks xla_sep (zero-gather separable tiles,
-    # fastest measured on v5e); "xla" forces the coefficient-field + gather
-    # path (no tile-extent limits on the warp); "pallas" / "pallas_dma"
-    # force the hand-written fused kernels.
+    # Assembly backend: "auto" picks the fused Pallas kernel on TPU
+    # (ops/assemble_v2.py) and xla_sep (zero-gather separable tiles, pure
+    # XLA) elsewhere; "xla" forces the coefficient-field + gather path (no
+    # tile-extent limits on the warp).
     backend: str = "auto"
     # Extra pixels of warp headroom in the image tiles of the xla_sep and
     # Pallas backends (beyond the subset extent + spline halo + alignment

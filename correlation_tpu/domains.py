@@ -36,13 +36,50 @@ class SubsetBatch:
     xy: list[np.ndarray]
     mask: list[np.ndarray]
     center0: np.ndarray
+    # Per-level (ext_y, ext_x) integer point-span bounds, computed host-side
+    # at construction so engine.compute_level_statics never has to read the
+    # (possibly device-resident) point arrays back to the host.
+    extents: list[tuple[int, int]] | None = None
 
     @property
     def num_subsets(self) -> int:
         return self.center0.shape[0]
 
     def n_points(self, level: int) -> np.ndarray:
-        return self.mask[level].sum(axis=1)
+        return np.asarray(self.mask[level]).sum(axis=1)
+
+    def to_device(self) -> "SubsetBatch":
+        """Return a copy whose arrays live on the default device.
+
+        Passing a device-resident batch to engine.correlate repeatedly
+        (e.g. once per frame with an unmoving Eulerian domain) skips the
+        per-call host->device transfer of the point arrays.
+        """
+        import jax.numpy as jnp
+
+        return SubsetBatch(
+            xy=[jnp.asarray(a) for a in self.xy],
+            mask=[jnp.asarray(a) for a in self.mask],
+            center0=jnp.asarray(self.center0),
+            extents=self.extents,
+        )
+
+
+def _level_extents(xs, ms) -> list[tuple[int, int]]:
+    """Max masked point span (ceil) per level, for static tile sizing."""
+    out = []
+    for xy, mask in zip(xs, ms):
+        if mask.any():
+            mins = np.where(mask[..., None], xy, np.inf).min(axis=1)
+            maxs = np.where(mask[..., None], xy, -np.inf).max(axis=1)
+            span = np.max(
+                np.where(mask.any(axis=1)[:, None], maxs - mins, 0.0),
+                axis=0,
+            )
+            out.append((int(np.ceil(span[1])), int(np.ceil(span[0]))))
+        else:
+            out.append((1, 1))
+    return out
 
 
 def _pad_points(
@@ -131,7 +168,10 @@ def make_batch(
     xs, ms = decimate_levels(
         xy0, mask0, list(range(max_level + 1)), pad_to
     )
-    return SubsetBatch(xs, ms, np.asarray(centers, np.float32))
+    return SubsetBatch(
+        xs, ms, np.asarray(centers, np.float32),
+        extents=_level_extents(xs, ms),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -84,8 +84,8 @@ class LevelArrays(NamedTuple):
     und_w: jax.Array  # [S, P_l, C]
     n_points: jax.Array  # [S] float32
     def_field: InterpField | None = None  # XLA backend
-    def_img: jax.Array | None = None  # Pallas backend: padded [Hp, Wp]
-    pixdata: jax.Array | None = None  # Pallas backend: [S, P_pad, 8]
+    def_img: jax.Array | None = None  # tiled backends: [H, W, C]
+    pixdata: jax.Array | None = None  # Pallas backend: [S, 8, P_pad]
     bbox: jax.Array | None = None  # Pallas backend: [S, 4, 2]
 
 
@@ -96,7 +96,7 @@ class LevelStatic(NamedTuple):
     tile_w: int
     img_h: int  # TRUE image dims (validity windows)
     img_w: int
-    use_dma: bool = False  # manual in-kernel DMA vs XLA tile extraction
+    block: int = 16  # Pallas backend: subsets per grid step
     sep: bool = False  # pure-XLA separable-tiles backend (xla_sep)
 
 
@@ -172,26 +172,10 @@ def solve_level(
             )
 
     elif level.pixdata is not None:
-        from correlation_tpu.ops import pallas_kernels as pk
+        from correlation_tpu.ops import assemble_v2 as v2
 
         def assemble(params):
-            origins = pk.compute_origins(
-                model,
-                interp,
-                level.bbox,
-                level.center,
-                params,
-                level.def_img.shape[0],
-                level.def_img.shape[1],
-                static.tile_h,
-                static.tile_w,
-                align=static.use_dma,
-            )
-            fn = (
-                pk.fused_assemble if static.use_dma
-                else pk.fused_assemble_tiles
-            )
-            out = fn(
+            out = v2.fused_assemble(
                 model,
                 interp,
                 static.tile_h,
@@ -200,8 +184,10 @@ def solve_level(
                 static.img_w,
                 level.def_img,
                 level.pixdata,
+                level.center,
                 params,
-                origins,
+                level.bbox,
+                static.block,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 
@@ -394,33 +380,17 @@ def prepare_levels(
                 xy, mask, center, und_w, n_points, def_img=img
             )
         else:
-            from correlation_tpu.ops import pallas_kernels as pk
+            from correlation_tpu.ops import assemble_v2 as v2
 
-            def_img = pk.pad_image_for_dma(def_pyramid[lvl][..., 0])
-            pixdata = pk.pack_pixdata(xy, mask, und_w, center)
-            big = jnp.float32(1e9)
-            mins = jnp.min(
-                jnp.where(mask[..., None], xy, big), axis=1
-            )
-            maxs = jnp.max(
-                jnp.where(mask[..., None], xy, -big), axis=1
-            )
-            bbox = jnp.stack(
-                [
-                    mins,
-                    jnp.stack([mins[..., 0], maxs[..., 1]], -1),
-                    jnp.stack([maxs[..., 0], mins[..., 1]], -1),
-                    maxs,
-                ],
-                axis=1,
-            )
+            pixdata = v2.pack_pixdata(xy, mask, und_w, center)
+            bbox = v2.subset_bbox(xy, mask)
             out[lvl] = LevelArrays(
                 xy,
                 mask,
                 center,
                 und_w,
                 n_points,
-                def_img=def_img,
+                def_img=def_pyramid[lvl],
                 pixdata=pixdata,
                 bbox=bbox,
             )
@@ -511,59 +481,94 @@ def _correlate_jit(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _correlate_shardmap_fn(cfg, statics, mesh):
+    """jit(shard_map) wrapper: each device runs the full LM program (incl.
+    the Pallas kernel) on its subset shard — pure data parallelism over
+    sectors (SURVEY.md §2.3-5), so the shard bodies need no collectives and
+    per-shard while_loops stop independently."""
+    from correlation_tpu.parallel.mesh import SUBSET_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    def local(und_pyramid, def_pyramid, xy, mask, center0, params0):
+        statics_d = dict(statics) if statics else None
+        levels = prepare_levels(
+            cfg, und_pyramid, def_pyramid, xy, mask, center0, statics_d
+        )
+        n_points0 = jnp.sum(mask[0], axis=-1)
+        return correlate_prepared(
+            cfg, levels, params0, center0, n_points0, statics_d
+        )
+
+    rep, sub = P(), P(SUBSET_AXIS)
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(rep, rep, sub, sub, sub, sub),
+            out_specs=sub,
+            check_vma=False,
+        )
+    )
+
+
 def resolve_backend(cfg: SolverConfig, num_colors: int) -> str:
     """Pick the assembly backend.
 
-    auto = xla_sep: the zero-gather separable-tiles path (pure XLA, runs
-    anywhere, supports color, mesh-partitionable) measures fastest on v5e —
-    TPU gathers stream far below HBM bandwidth, so it beats the
-    coefficient-field gather path ~4x, and XLA pipelines its big batched
-    matmuls better than the per-subset Pallas grid.  "xla" (field + gather;
-    no tile-extent limit on warps), "pallas" (fused kernel, validated on
-    hardware) and "pallas_dma" (manual DMA, experimental) stay selectable.
+    auto = the fused Pallas kernel (ops/assemble_v2.py) on TPU — the
+    hand-written analog of the reference's kCorrelation, fastest measured
+    on hardware; xla_sep (zero-gather separable tiles, pure XLA, runs
+    anywhere) elsewhere.  "xla" (coefficient field + gather; no tile-extent
+    limit on warps) stays selectable.
     """
     if cfg.backend != "auto":
         return cfg.backend
     del num_colors
+    if jax.default_backend() == "tpu":
+        return "pallas"
     return "xla_sep"
 
 
 def _backend_uses_pallas(backend: str) -> bool:
-    return backend in ("pallas", "pallas_dma")
+    return backend == "pallas"
 
 
 def compute_level_statics(
     cfg: SolverConfig, subsets, def_pyramid, backend: str | None = None
 ) -> tuple[tuple[int, "LevelStatic"], ...]:
     """Host-side static tile dims per level for the tiled backends."""
-    from correlation_tpu.ops.pallas_kernels import choose_tile
+    from correlation_tpu.ops.assemble_v2 import choose_block, choose_tile
 
     backend = backend or cfg.backend
     sep = backend == "xla_sep"
     out = []
     for lvl in cfg.pyramid.levels_coarse_to_fine():
-        xy = np.asarray(subsets.xy[lvl])
-        mask = np.asarray(subsets.mask[lvl])
-        if mask.any():
-            mins = np.where(mask[..., None], xy, np.inf).min(axis=1)
-            maxs = np.where(mask[..., None], xy, -np.inf).max(axis=1)
-            span = np.max(np.where(mask.any(axis=1)[:, None],
-                                   maxs - mins, 0.0), axis=0)
-            ext_x, ext_y = int(np.ceil(span[0])), int(np.ceil(span[1]))
+        if subsets.extents is not None:
+            ext_y, ext_x = subsets.extents[lvl]
         else:
-            ext_x = ext_y = 1
+            # Fallback for hand-built batches; forces a device->host read
+            # when the arrays are device-resident.
+            xy = np.asarray(subsets.xy[lvl])
+            mask = np.asarray(subsets.mask[lvl])
+            if mask.any():
+                mins = np.where(mask[..., None], xy, np.inf).min(axis=1)
+                maxs = np.where(mask[..., None], xy, -np.inf).max(axis=1)
+                span = np.max(np.where(mask.any(axis=1)[:, None],
+                                       maxs - mins, 0.0), axis=0)
+                ext_x, ext_y = int(np.ceil(span[0])), int(np.ceil(span[1]))
+            else:
+                ext_x = ext_y = 1
+        mask = subsets.mask[lvl]
         h, w = int(def_pyramid[lvl].shape[0]), int(def_pyramid[lvl].shape[1])
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
         if sep:
-            use_dma = False
-            hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
-            th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
+            block = 0
         else:
-            hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
-            use_dma = backend == "pallas_dma"
-            th, tw = choose_tile(
-                ext_y, ext_x, hp, wp, cfg.tile_margin, for_dma=use_dma
-            )
-        out.append((lvl, LevelStatic(th, tw, h, w, use_dma, sep)))
+            p_pad = -(-int(mask.shape[1]) // 128) * 128
+            channels = int(def_pyramid[lvl].shape[-1])
+            block = choose_block(th, tw, p_pad, channels)
+        out.append((lvl, LevelStatic(th, tw, h, w, block, sep)))
     return tuple(out)
 
 
@@ -593,17 +598,20 @@ def correlate(
     """
     num_colors = int(und_pyramid[0].shape[-1])
     backend = resolve_backend(cfg, num_colors)
-    # The fused Pallas kernel is single-device; under a mesh the program
-    # must be pure XLA so jit can partition it (xla_sep is pure XLA and
-    # partitions fine — the tile dynamic_slices become per-shard gathers).
-    if _backend_uses_pallas(backend) and mesh is not None:
+    if (
+        cfg.backend == "auto"
+        and backend == "pallas"
+        and mesh is not None
+        and mesh.devices.flat[0].platform != "tpu"
+    ):
+        # auto resolved against the default (TPU) backend but the mesh
+        # targets other devices (e.g. the virtual CPU test mesh).
         backend = "xla_sep"
     statics = (
         compute_level_statics(cfg, subsets, def_pyramid, backend)
         if backend != "xla"
         else None
     )
-    params0 = np.asarray(params0, np.float32)
     orig_s = subsets.num_subsets
     if mesh is not None:
         from correlation_tpu.parallel.mesh import (
@@ -612,6 +620,7 @@ def correlate(
             shard_inputs,
         )
 
+        params0 = np.asarray(params0, np.float32)
         subsets = pad_to_mesh(subsets, mesh)
         if params0.shape[0] != subsets.num_subsets:
             params0 = np.pad(
@@ -626,22 +635,32 @@ def correlate(
             mesh, [jnp.asarray(a) for a in def_pyramid]
         )
     else:
+        # jnp.asarray is a no-op on device-resident inputs — callers that
+        # reuse a batch across calls (sequence driver, bench) pass
+        # SubsetBatch.to_device() output and pay the transfer only once.
         xy = [jnp.asarray(a) for a in subsets.xy]
         mask = [jnp.asarray(a) for a in subsets.mask]
         center0 = jnp.asarray(subsets.center0)
-        params = jnp.asarray(params0)
+        params = jnp.asarray(params0, jnp.float32)
         und_pyramid = [jnp.asarray(a) for a in und_pyramid]
         def_pyramid = [jnp.asarray(a) for a in def_pyramid]
-    res = _correlate_jit(
-        cfg,
-        statics,
-        und_pyramid,
-        def_pyramid,
-        xy,
-        mask,
-        center0,
-        params,
-    )
+    if mesh is not None and _backend_uses_pallas(backend):
+        # The Pallas kernel can't be auto-partitioned by jit; shard_map
+        # runs it per-device on each subset shard instead.
+        res = _correlate_shardmap_fn(cfg, statics, mesh)(
+            und_pyramid, def_pyramid, xy, mask, center0, params
+        )
+    else:
+        res = _correlate_jit(
+            cfg,
+            statics,
+            und_pyramid,
+            def_pyramid,
+            xy,
+            mask,
+            center0,
+            params,
+        )
     if res.params.shape[0] != orig_s:
         res = CorrelationResult(*[r[:orig_s] for r in res])
     return res

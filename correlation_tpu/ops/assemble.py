@@ -143,7 +143,7 @@ def assemble_normal_equations_tiles(
 
     Functionally identical to assemble_normal_equations (the reference's
     finite-difference-constrained bicubic equals the Catmull-Rom cubic
-    convolution — see ops/pallas_kernels.py docstring), but expressed so XLA
+    convolution — see ops/assemble_v2.py docstring), but expressed so XLA
     emits only dynamic_slice + batched matmuls: per iteration each subset's
     [tile_h, tile_w] deformed-image window (placed from the warped subset's
     bounding box) is sliced out, per-pixel separable weight rows are built,
@@ -174,15 +174,10 @@ def assemble_normal_equations_tiles(
         ty = yd - ay
         halo = 1
         taps = 4
-        from correlation_tpu.ops.pallas_kernels import (
-            _cubic_dweights,
-            _cubic_weights,
-        )
+        from correlation_tpu.ops.assemble_v2 import _cubic_taps
 
-        kx = _cubic_weights(tx)
-        ky = _cubic_weights(ty)
-        dkx = _cubic_dweights(tx)
-        dky = _cubic_dweights(ty)
+        kx, dkx = _cubic_taps(tx)
+        ky, dky = _cubic_taps(ty)
     elif interp == Interpolation.BILINEAR:
         valid = (xd > 0.0) & (yd > 0.0) & (xd < img_w - 1.0) & (yd < img_h - 1.0)
         ax = jnp.floor(xd)
@@ -214,7 +209,7 @@ def assemble_normal_equations_tiles(
         raise ValueError(f"unknown interpolation {interp}")
 
     # Tile origin from the warped subset's masked bounding box (the XLA
-    # analog of pallas_kernels.compute_origins; a direct masked min equals
+    # analog of assemble_v2.compute_origins; a direct masked min equals
     # the warped-corner min because all supported warps are affine).
     big = f32(3.0e38)
     min_x = jnp.min(jnp.where(mask, xd, big), axis=-1)

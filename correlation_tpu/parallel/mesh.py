@@ -91,9 +91,10 @@ def pad_to_mesh(batch: SubsetBatch, mesh: Mesh) -> SubsetBatch:
         return np.pad(a, widths)
 
     return SubsetBatch(
-        xy=[pad_s(a) for a in batch.xy],
-        mask=[pad_s(a) for a in batch.mask],
-        center0=pad_s(batch.center0),
+        xy=[pad_s(np.asarray(a)) for a in batch.xy],
+        mask=[pad_s(np.asarray(a)) for a in batch.mask],
+        center0=pad_s(np.asarray(batch.center0)),
+        extents=batch.extents,  # padding rows are fully masked
     )
 
 

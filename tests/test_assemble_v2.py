@@ -1,0 +1,249 @@
+"""Fused-assembly Pallas kernel (ops/assemble_v2.py) vs the XLA paths.
+
+Runs in Pallas interpret mode so it executes on the CPU test mesh; the same
+code compiles to Mosaic on real TPU (validated on a v5e).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from correlation_tpu.config import (
+    FittingModel,
+    Interpolation,
+    PyramidConfig,
+    SolverConfig,
+)
+from correlation_tpu.domains import make_batch
+from correlation_tpu.engine import correlate
+from correlation_tpu.ops import assemble_v2 as v2
+from correlation_tpu.ops.assemble import assemble_normal_equations
+from correlation_tpu.ops.interp import precompute_field
+from synthetic import Speckle
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = v2.pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(v2.pl, "pallas_call", patched)
+    # static-arg jit caches must not leak compiled (non-interpret) versions
+    v2.fused_assemble.clear_cache()
+    yield
+    v2.fused_assemble.clear_cache()
+
+
+def _problem(model, interp, s=5, side=11, channels=1):
+    spk = Speckle(96, 130, seed=9)
+    und = np.floor(spk.image())
+    dfm = np.floor(spk.warped_image(u=0.7, v=-0.4))
+    if channels > 1:
+        und = np.stack([und * f for f in (1.0, 0.8, 0.6)[:channels]], -1)
+        dfm = np.stack([dfm * f for f in (1.0, 0.8, 0.6)[:channels]], -1)
+    else:
+        und = und[..., None]
+        dfm = dfm[..., None]
+    xy = np.zeros((s, side * side, 2), np.float32)
+    for i in range(s):
+        cx, cy = 20 + 13 * i, 25 + 9 * i
+        gx, gy = np.meshgrid(
+            np.arange(cx - side // 2, cx + side // 2 + 1),
+            np.arange(cy - side // 2, cy + side // 2 + 1),
+            indexing="ij",
+        )
+        xy[i] = np.stack([gx.ravel(), gy.ravel()], -1)
+    mask = np.ones((s, side * side), bool)
+    center = xy.mean(axis=1).astype(np.float32)
+    und_w = und[
+        xy[..., 1].astype(int), xy[..., 0].astype(int), :
+    ].astype(np.float32)
+    rng = np.random.default_rng(4)
+    num_p = {FittingModel.U: 1, FittingModel.UV: 2, FittingModel.UVQ: 3,
+             FittingModel.AFFINE: 6}[model]
+    params = rng.normal(0, 0.01, (s, num_p)).astype(np.float32)
+    params[:, 0] += 0.7
+    if num_p > 1:
+        params[:, 1] -= 0.4
+    return und, dfm, xy, mask, center, und_w, params
+
+
+def _run_v2(model, interp, dfm, xy, mask, center, und_w, params, block=2):
+    h, w = dfm.shape[0], dfm.shape[1]
+    pix = v2.pack_pixdata(
+        jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(und_w),
+        jnp.asarray(center),
+    )
+    bbox = v2.subset_bbox(jnp.asarray(xy), jnp.asarray(mask))
+    ext = int(np.ceil((xy.max(axis=1) - xy.min(axis=1)).max()))
+    th, tw = v2.choose_tile(ext, ext, -(-h // 8) * 8, -(-w // 8) * 8)
+    return v2.fused_assemble(
+        model, interp, th, tw, h, w, jnp.asarray(dfm), pix,
+        jnp.asarray(center), jnp.asarray(params), bbox, block,
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize(
+    "model,interp",
+    [
+        (FittingModel.AFFINE, Interpolation.BICUBIC),
+        (FittingModel.UV, Interpolation.BILINEAR),
+        (FittingModel.UVQ, Interpolation.BICUBIC),
+        (FittingModel.U, Interpolation.NEAREST),
+    ],
+)
+def test_fused_assembly_matches_xla(model, interp, channels):
+    und, dfm, xy, mask, center, und_w, params = _problem(
+        model, interp, channels=channels
+    )
+    out = _run_v2(model, interp, dfm, xy, mask, center, und_w, params)
+
+    # Tight oracle: the xla_sep tiles backend evaluates the SAME separable
+    # Catmull-Rom form, so agreement is pure f32 accumulation-order noise.
+    h, w = dfm.shape[0], dfm.shape[1]
+    ext = int(np.ceil((xy.max(axis=1) - xy.min(axis=1)).max()))
+    th, tw = v2.choose_tile(ext, ext, -(-h // 8) * 8, -(-w // 8) * 8)
+    from correlation_tpu.ops.assemble import assemble_normal_equations_tiles
+
+    a0, b0, chi0, err0 = assemble_normal_equations_tiles(
+        model, interp, jnp.asarray(dfm), h, w, th, tw,
+        jnp.asarray(und_w), jnp.asarray(xy), jnp.asarray(mask),
+        jnp.asarray(center), jnp.asarray(params),
+    )
+    np.testing.assert_allclose(
+        out.a_mat, a0, rtol=2e-4, atol=np.abs(np.asarray(a0)).max() * 5e-6
+    )
+    np.testing.assert_allclose(
+        out.b_vec, b0, rtol=2e-4, atol=np.abs(np.asarray(b0)).max() * 2e-5
+    )
+    np.testing.assert_allclose(out.chi, chi0, rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out.err), np.asarray(err0))
+
+    # Cross-formulation check vs the coefficient-field backend: the
+    # integer-grid constrained bicubic is mathematically equal but
+    # numerically a different route (~1e-4 relative agreement).
+    field = precompute_field(jnp.asarray(dfm), interp)
+    a1, b1, chi1, err1 = assemble_normal_equations(
+        model, interp, field, jnp.asarray(und_w),
+        jnp.asarray(xy), jnp.asarray(mask), jnp.asarray(center),
+        jnp.asarray(params),
+    )
+    np.testing.assert_allclose(
+        out.a_mat, a1, rtol=5e-3, atol=np.abs(np.asarray(a1)).max() * 2e-5
+    )
+    np.testing.assert_allclose(
+        out.b_vec, b1, rtol=5e-3, atol=np.abs(np.asarray(b1)).max() * 5e-5
+    )
+    np.testing.assert_allclose(out.chi, chi1, rtol=5e-4)
+    np.testing.assert_array_equal(np.asarray(out.err), np.asarray(err1))
+
+
+def test_out_of_image_flagged():
+    model, interp = FittingModel.UV, Interpolation.BICUBIC
+    und, dfm, xy, mask, center, und_w, _ = _problem(model, interp, s=2)
+    params = np.array([[0.0, 0.0], [400.0, 0.0]], np.float32)
+    out = _run_v2(model, interp, dfm, xy, mask, center, und_w, params)
+    assert not bool(out.err[0])
+    assert bool(out.err[1])
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+def test_engine_pallas_backend_translation_recovery(channels):
+    """Full engine solve through the Pallas backend (interpret mode)."""
+    spk = Speckle(64, 64, seed=21)
+    true_u, true_v = 1.37, -0.58
+    und = spk.image()
+    dfm = spk.warped_image(u=true_u, v=true_v)
+    if channels > 1:
+        und = np.stack([und * f for f in (1.0, 0.8, 0.6)], -1)
+        dfm = np.stack([dfm * f for f in (1.0, 0.8, 0.6)], -1)
+    else:
+        und = und[..., None]
+        dfm = dfm[..., None]
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+        precision=1e-6,
+        backend="pallas",
+    )
+    pts = np.stack(
+        np.meshgrid(np.arange(20, 45), np.arange(20, 45), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 2).astype(np.float32)
+    batch = make_batch([pts], None, 0)
+    res = correlate(
+        cfg,
+        [jnp.asarray(und)],
+        [jnp.asarray(dfm)],
+        batch,
+        np.zeros((1, 2), np.float32),
+    )
+    assert int(res.error[0]) == 0
+    np.testing.assert_allclose(
+        np.asarray(res.params)[0], [true_u, true_v], atol=2e-3
+    )
+
+
+def test_engine_pallas_backend_under_mesh():
+    """backend='pallas' under a mesh runs via shard_map (VERDICT item 4)."""
+    from correlation_tpu.parallel.mesh import make_mesh
+
+    spk = Speckle(72, 72, seed=3)
+    true_u, true_v = 0.8, -0.3
+    und = spk.image()[..., None]
+    dfm = spk.warped_image(u=true_u, v=true_v)[..., None]
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+        precision=1e-6,
+        backend="pallas",
+    )
+    pts = []
+    for cy in (24, 40):
+        for cx in (24, 40):
+            gx, gy = np.meshgrid(
+                np.arange(cx - 6, cx + 7), np.arange(cy - 6, cy + 7),
+                indexing="ij",
+            )
+            pts.append(
+                np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)
+            )
+    batch = make_batch(pts, None, 0)
+    mesh = make_mesh()
+    res = correlate(
+        cfg,
+        [jnp.asarray(und)],
+        [jnp.asarray(dfm)],
+        batch,
+        np.zeros((4, 2), np.float32),
+        mesh=mesh,
+    )
+    res_single = correlate(
+        cfg,
+        [jnp.asarray(und)],
+        [jnp.asarray(dfm)],
+        batch,
+        np.zeros((4, 2), np.float32),
+    )
+    assert res.params.shape[0] == 4
+    np.testing.assert_array_equal(np.asarray(res.error), 0)
+    # The sharded program runs the same kernel per shard: results match the
+    # single-device solve exactly (same reduction order within a subset).
+    np.testing.assert_array_equal(
+        np.asarray(res.params), np.asarray(res_single.params)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.iterations), np.asarray(res_single.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.params),
+        np.tile([[true_u, true_v]], (4, 1)),
+        atol=2e-2,
+    )
