@@ -27,9 +27,8 @@ from correlation_tpu.config import (
     SolverConfig,
 )
 from correlation_tpu import domains
-from correlation_tpu.io import FramePrefetcher
 from correlation_tpu.report import write_report
-from correlation_tpu.sequence import SequenceConfig, run_sequence
+from correlation_tpu.sequence import SequenceConfig, run_sequence_from_files
 
 _MODELS = {
     "u": FittingModel.U,
@@ -198,10 +197,6 @@ def main(argv: list[str] | None = None) -> int:
         )
         contours = [contour.astype(np.float32)]
 
-    prefetcher = FramePrefetcher(args.images, monochrome=not args.color)
-    frames = [prefetcher.get(i) for i in range(len(args.images))]
-    prefetcher.close()
-
     guess = (
         np.asarray(args.guess, np.float32)
         if args.guess
@@ -223,10 +218,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         prof_ctx = contextlib.nullcontext()
     with prof_ctx:
-        records = run_sequence(
-            frames,
+        # Streaming: frames decode in a background prefetcher as the solve
+        # advances (manager_class.cpp:1438-1447) and the decoded-frame
+        # cache stays bounded — a 10k-frame run never holds the sequence
+        # in RAM (run_sequence keeps only the live und/def pyramids).
+        records = run_sequence_from_files(
+            args.images,
             point_lists,
             cfg,
+            monochrome=not args.color,
             global_guess=guess,
             centers=centers,
             global_center=global_center,
@@ -236,7 +236,19 @@ def main(argv: list[str] | None = None) -> int:
             mesh=mesh,
         )
     if args.plot_dir:
-        paths = viz.save_sequence_overlays(frames, records, args.plot_dir)
+
+        class _Reload:
+            """Lazy re-decode for overlay rendering (frames are not kept)."""
+
+            def __getitem__(self, idx):
+                from correlation_tpu.io import load_image
+
+                return load_image(args.images[idx], not args.color)
+
+            def __len__(self):
+                return len(args.images)
+
+        paths = viz.save_sequence_overlays(_Reload(), records, args.plot_dir)
         print(f"wrote {len(paths)} overlay images to {args.plot_dir}")
     csv = write_report(
         records,

@@ -86,7 +86,8 @@ class LevelArrays(NamedTuple):
     def_field: InterpField | None = None  # XLA backend
     def_img: jax.Array | None = None  # tiled backends: [H, W, C]
     pixdata: jax.Array | None = None  # Pallas backend: [S, 8, P_pad]
-    bbox: jax.Array | None = None  # Pallas backend: [S, 4, 2]
+    bbox: jax.Array | None = None  # [S, 4, 2] und bbox (all backends)
+    img_hw: tuple | None = None  # (H, W) true deformed-image dims
 
 
 class LevelStatic(NamedTuple):
@@ -188,6 +189,7 @@ def solve_level(
                 params,
                 level.bbox,
                 static.block,
+                img_prepared=True,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 
@@ -209,17 +211,65 @@ def solve_level(
     n_ok = level.n_points > 0
     scaling = jnp.where(n_ok, 1.0 / jnp.maximum(level.n_points, 1.0), 0.0)
 
+    if level.bbox is not None and level.img_hw is not None:
+        img_h, img_w = level.img_hw
+
+        def oob_code(params):
+            """Distinguish MODEL_OUT_OF_IMAGE (warped subset leaves the
+            image itself) from INTERPOLATION_OUT_OF_IMAGE (leaves only the
+            interpolation validity margin) — enums.hpp:25-35.  The warps
+            are affine, so the warped und-bbox corners bound the subset."""
+            from correlation_tpu.models.warp import warp_points
+
+            corners = warp_points(
+                cfg.model, params, level.bbox, level.center
+            )
+            x, y = corners[..., 0], corners[..., 1]
+            out = (
+                ~jnp.isfinite(x) | ~jnp.isfinite(y)
+                | (x < 0.0) | (x > img_w - 1.0)
+                | (y < 0.0) | (y > img_h - 1.0)
+            )
+            return jnp.where(
+                jnp.any(out, axis=1),
+                jnp.int32(ErrorCode.MODEL_OUT_OF_IMAGE),
+                jnp.int32(ErrorCode.INTERPOLATION_OUT_OF_IMAGE),
+            )
+
+    else:
+
+        def oob_code(params):
+            del params
+            return jnp.full(
+                (s,), jnp.int32(ErrorCode.INTERPOLATION_OUT_OF_IMAGE)
+            )
+
     # ---- initial assembly at the initial guess ---------------------------
     a_mat, b_vec, chi_raw, interp_err = assemble(params0)
-    init_fail = (~skip) & (interp_err | ~n_ok)
-    init_error = jnp.where(
-        interp_err,
-        jnp.int32(ErrorCode.INTERPOLATION_OUT_OF_IMAGE),
-        jnp.where(n_ok, jnp.int32(ErrorCode.NONE), jnp.int32(ErrorCode.BAD_DOMAIN)),
-    )
     chi0 = chi_raw * scaling
     lam0 = jnp.full((s,), cfg.lambda_init, f32)
     dp0 = lm_delta(a_mat, b_vec, lam0, scaling)
+    # A singular/non-PD damped system (all-constant intensities, empty
+    # gradients) yields a non-finite update: the reference's cuSolver
+    # failure (cuda_solver.cu:40-89, cuda_class.cu:314).
+    solver0 = (
+        (~skip) & ~interp_err & n_ok
+        & ~jnp.all(jnp.isfinite(dp0), axis=-1)
+    )
+    init_fail = (~skip) & (interp_err | ~n_ok | solver0)
+    init_error = jnp.where(
+        interp_err,
+        oob_code(params0),
+        jnp.where(
+            ~n_ok,
+            jnp.int32(ErrorCode.BAD_DOMAIN),
+            jnp.where(
+                solver0,
+                jnp.int32(ErrorCode.SOLVER),
+                jnp.int32(ErrorCode.NONE),
+            ),
+        ),
+    )
     p_saved0 = params0 + dp0
 
     state = _LoopState(
@@ -261,12 +311,17 @@ def solve_level(
         dp = lm_delta(a_mat, b_vec, lam_used, scaling)
         p_new = q + dp
 
-        # --- interpolation errors abandon the level (both phases keep
-        # model_parameters = the assembled point q) ------------------------
+        # --- interpolation/solver errors abandon the level (both phases
+        # keep model_parameters = the assembled point q) --------------------
         err_now = st.active & interp_err
+        solver_now = (
+            st.active & ~interp_err
+            & ~jnp.all(jnp.isfinite(dp), axis=-1)
+        )
+        stop_err = err_now | solver_now
 
         # --- EVAL phase ----------------------------------------------------
-        do_eval = st.active & is_eval & ~interp_err
+        do_eval = st.active & is_eval & ~stop_err
         delta_chi = jnp.abs(
             (st.last_good_chi - chi)
             / (jnp.maximum(st.last_good_chi, chi) + prec)
@@ -283,10 +338,10 @@ def solve_level(
         eval_stop = converged | exhausted
 
         # --- RECOMPUTE phase -----------------------------------------------
-        do_rec = st.active & ~is_eval & ~interp_err
+        do_rec = st.active & ~is_eval & ~stop_err
 
         p_cur = jnp.where(
-            err_now[:, None],
+            stop_err[:, None],
             q,
             jnp.where((do_eval | do_rec)[:, None], p_new, st.p_cur),
         )
@@ -304,14 +359,18 @@ def solve_level(
         )
         iteration = jnp.where(do_eval, next_iter, st.iteration)
         reached = jnp.where(do_eval, st.iteration, st.reached)
-        active = st.active & ~err_now & ~(do_eval & eval_stop)
+        active = st.active & ~stop_err & ~(do_eval & eval_stop)
         error = jnp.where(
             err_now,
-            jnp.int32(ErrorCode.INTERPOLATION_OUT_OF_IMAGE),
+            oob_code(q),
             jnp.where(
-                do_eval & exhausted & ~converged,
-                jnp.int32(ErrorCode.MAX_ITERS_REACHED),
-                st.error,
+                solver_now,
+                jnp.int32(ErrorCode.SOLVER),
+                jnp.where(
+                    do_eval & exhausted & ~converged,
+                    jnp.int32(ErrorCode.MAX_ITERS_REACHED),
+                    st.error,
+                ),
             ),
         )
         return _LoopState(
@@ -355,6 +414,8 @@ def prepare_levels(
     Pallas backend: the deformed image is DMA-padded and per-pixel data is
     packed for the fused kernel instead.
     """
+    from correlation_tpu.ops import assemble_v2 as v2
+
     out = {}
     for lvl in cfg.pyramid.levels_coarse_to_fine():
         xy = xy_levels[lvl]
@@ -364,10 +425,18 @@ def prepare_levels(
         center = center0 / jnp.float32(1 << lvl)
         und_w = sample_integer(und_pyramid[lvl], xy) * mask[..., None]
         n_points = jnp.sum(mask, axis=-1).astype(jnp.float32)
+        # bbox + true image dims feed the MODEL_OUT_OF_IMAGE vs
+        # INTERPOLATION_OUT_OF_IMAGE distinction for every backend.
+        bbox = v2.subset_bbox(xy, mask)
+        img_hw = (
+            int(def_pyramid[lvl].shape[0]),
+            int(def_pyramid[lvl].shape[1]),
+        )
         if statics is None:
             def_field = precompute_field(def_pyramid[lvl], cfg.interpolation)
             out[lvl] = LevelArrays(
-                xy, mask, center, und_w, n_points, def_field=def_field
+                xy, mask, center, und_w, n_points, def_field=def_field,
+                bbox=bbox, img_hw=img_hw,
             )
         elif statics[lvl].sep:
             st = statics[lvl]
@@ -377,22 +446,25 @@ def prepare_levels(
             if pad_h or pad_w:
                 img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
             out[lvl] = LevelArrays(
-                xy, mask, center, und_w, n_points, def_img=img
+                xy, mask, center, und_w, n_points, def_img=img,
+                bbox=bbox, img_hw=img_hw,
             )
         else:
-            from correlation_tpu.ops import assemble_v2 as v2
-
             pixdata = v2.pack_pixdata(xy, mask, und_w, center)
-            bbox = v2.subset_bbox(xy, mask)
             out[lvl] = LevelArrays(
                 xy,
                 mask,
                 center,
                 und_w,
                 n_points,
-                def_img=def_pyramid[lvl],
+                # Padded + channel-major once per frame; the LM while-loop
+                # body consumes it as-is (img_prepared=True).
+                def_img=v2.prepare_image(
+                    def_pyramid[lvl], statics[lvl].tile_w
+                ),
                 pixdata=pixdata,
                 bbox=bbox,
+                img_hw=img_hw,
             )
     return out
 
@@ -512,19 +584,28 @@ def _correlate_shardmap_fn(cfg, statics, mesh):
     )
 
 
+_BACKENDS = ("auto", "pallas", "xla_sep", "xla")
+_BACKEND_ALIASES = {"pallas_dma": "pallas"}  # pre-round-2 name
+
+
 def resolve_backend(cfg: SolverConfig, num_colors: int) -> str:
     """Pick the assembly backend.
 
     auto = the fused Pallas kernel (ops/assemble_v2.py) on TPU — the
     hand-written analog of the reference's kCorrelation, fastest measured
     on hardware; xla_sep (zero-gather separable tiles, pure XLA, runs
-    anywhere) elsewhere.  "xla" (coefficient field + gather; no tile-extent
-    limit on warps) stays selectable.
+    anywhere) elsewhere, and for >3-channel pyramids (the kernel packs
+    channels into pixdata rows 5..7).  "xla" (coefficient field + gather;
+    no tile-extent limit on warps) stays selectable.
     """
-    if cfg.backend != "auto":
-        return cfg.backend
-    del num_colors
-    if jax.default_backend() == "tpu":
+    backend = _BACKEND_ALIASES.get(cfg.backend, cfg.backend)
+    if backend not in _BACKENDS:
+        raise ValueError(
+            f"unknown backend {cfg.backend!r}; expected one of {_BACKENDS}"
+        )
+    if backend != "auto":
+        return backend
+    if jax.default_backend() == "tpu" and num_colors <= 3:
         return "pallas"
     return "xla_sep"
 
@@ -562,13 +643,18 @@ def compute_level_statics(
         h, w = int(def_pyramid[lvl].shape[0]), int(def_pyramid[lvl].shape[1])
         hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
         th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
-        if sep:
-            block = 0
-        else:
+        use_sep = sep
+        block = 0
+        if not sep:
             p_pad = -(-int(mask.shape[1]) // 128) * 128
             channels = int(def_pyramid[lvl].shape[-1])
             block = choose_block(th, tw, p_pad, channels)
-        out.append((lvl, LevelStatic(th, tw, h, w, block, sep)))
+            if block == 0:
+                # The kernel working set exceeds VMEM even at the minimum
+                # block (huge subsets/tiles): run this level via the pure-
+                # XLA separable-tiles backend instead of OOMing Mosaic.
+                use_sep = True
+        out.append((lvl, LevelStatic(th, tw, h, w, block, use_sep)))
     return tuple(out)
 
 

@@ -34,17 +34,22 @@ def load_image(path: str, monochrome: bool = True) -> np.ndarray:
 class FramePrefetcher:
     """Decode frames ahead of the solver (the std::async analog).
 
-    Keeps up to `ahead` decoded frames in flight; frames are retrieved in
-    order with next().
+    Keeps up to `ahead` decoded frames in flight and evicts frames that
+    fall behind the newest request, so a length-N sequence holds O(ahead)
+    decoded frames — not O(N) — mirroring the reference's three-image
+    recycling (pyramid_class.cpp:211-258).  Evicted frames are re-decoded
+    transparently if requested again (e.g. for overlay rendering).
     """
 
-    def __init__(self, paths: list[str], monochrome: bool = True, ahead: int = 2):
+    def __init__(self, paths: list[str], monochrome: bool = True,
+                 ahead: int = 2, behind: int = 1):
         self.paths = paths
         self.monochrome = monochrome
         self.ahead = ahead
+        self.behind = behind
+        self.max_cached = 0  # high-water mark, asserted bounded by tests
         self._pool = ThreadPoolExecutor(max_workers=2)
         self._futures: dict[int, Future] = {}
-        self._next = 0
         for i in range(min(ahead, len(paths))):
             self._submit(i)
 
@@ -58,7 +63,14 @@ class FramePrefetcher:
         self._submit(idx)
         for j in range(idx + 1, min(idx + 1 + self.ahead, len(self.paths))):
             self._submit(j)
-        return self._futures[idx].result()
+        out = self._futures[idx].result()
+        # Evict decoded frames behind the window (the run_sequence driver
+        # caches the und/def pyramids it still needs on device).
+        for k in [k for k in self._futures if k < idx - self.behind]:
+            f = self._futures.pop(k)
+            f.cancel()
+        self.max_cached = max(self.max_cached, len(self._futures))
+        return out
 
     def close(self):
         self._pool.shutdown(wait=False, cancel_futures=True)

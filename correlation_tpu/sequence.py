@@ -406,6 +406,16 @@ def run_sequence(
         n_points = np.asarray(result.n_points)
         errors = np.asarray(result.error)
 
+        if cfg.error_mode == ErrorMode.STOP_FRAME:
+            # Batched stop-frame (manager_class.cpp:535-546, 793-805): in
+            # the reference an error aborts the remaining sectors of the
+            # CURRENT frame (their chained state keeps its previous values)
+            # while the frame loop continues.  Batched, that means an
+            # errored sector's chained state does not advance this frame —
+            # it is re-attempted next frame from its last good state.
+            bad = errors != int(ErrorCode.NONE)
+            params = np.where(bad[:, None], state.params, params)
+
         update_results(state, model, params, und_center, n_points)
 
         records.append(
@@ -455,11 +465,17 @@ def run_sequence_from_files(
     point_lists: list[np.ndarray],
     cfg: SequenceConfig,
     monochrome: bool = True,
+    io_stats: dict | None = None,
     **kwargs,
 ) -> list[FrameRecord]:
     """run_sequence over image files with background decode prefetch
     (the analog of the reference's async next-image load,
-    manager_class.cpp:1438-1447)."""
+    manager_class.cpp:1438-1447).  The decoded-frame cache is bounded
+    (FramePrefetcher evicts behind the newest request), so memory stays
+    O(1) in the sequence length.
+
+    io_stats: optional dict; receives {"max_cached": N} — the high-water
+    mark of simultaneously cached decoded frames."""
     from correlation_tpu.io import FramePrefetcher
 
     prefetcher = FramePrefetcher(paths, monochrome=monochrome)
@@ -474,4 +490,6 @@ def run_sequence_from_files(
     try:
         return run_sequence(_LazyFrames(), point_lists, cfg, **kwargs)
     finally:
+        if io_stats is not None:
+            io_stats["max_cached"] = prefetcher.max_cached
         prefetcher.close()

@@ -54,6 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from correlation_tpu.config import FittingModel, Interpolation
 
+import os
+ABLATE = set(os.environ.get("V2_ABLATE", "").split(","))
+
 # pixdata row layout ([S, 8, P_pad] f32 — pixels on the LANE axis)
 _ROW_X = 0
 _ROW_Y = 1
@@ -245,10 +248,15 @@ def _make_kernel(
                         raw_ref.at[slot, b * channels + c],
                         sems.at[slot, b * channels + c],
                     ).wait()
-                    rolled = pltpu.roll(
-                        raw_ref[slot, b * channels + c], dma_w - dx, axis=1
-                    )
-                    chans.append(rolled[:, :tile_w])
+                    if "noroll" in ABLATE:
+                        chans.append(
+                            raw_ref[slot, b * channels + c][:, :tile_w]
+                            + jnp.float32(dx))
+                    else:
+                        rolled = pltpu.roll(
+                            raw_ref[slot, b * channels + c], dma_w - dx,
+                            axis=1)
+                        chans.append(rolled[:, :tile_w])
                 tiles.append(
                     jnp.concatenate(chans, axis=1)
                     if channels > 1 else chans[0]
@@ -308,18 +316,42 @@ def _make_kernel(
         r_sub = jax.lax.broadcasted_iota(jnp.int32, (block, tile_h, p_pad), 1)
         onehot = (r_sub == ry[:, None, :]).astype(jnp.bfloat16)
 
-        for b in range(block):
-            o3 = jnp.concatenate([onehot[b]] * 3, axis=0)  # [3*th, P]
-            # sel[j*W + c, p] = tile[ry[p] + j, c], exact to f32.
-            sel_ref[b] = jax.lax.dot_general(
-                parts[b],
-                o3,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [taps*W, P]
+        if "nosel" not in ABLATE:
+            for b in range(block):
+                o3 = jnp.concatenate([onehot[b]] * 3, axis=0)  # [3*th, P]
+                sel_ref[b] = jax.lax.dot_general(
+                    parts[b],
+                    o3,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # [taps*W, P]
+        else:
+            # keep parts/onehot alive cheaply so their build isn't DCE'd
+            sel_ref[0] = jnp.zeros((taps * w_all, p_pad), f32) + (
+                onehot[0, 0:1, :].astype(f32)
+                * parts[0, 0:1, 0:1].astype(f32))
 
         # ---- tap-row combination (batched, lanes = pixels) ----------------
         sel = sel_ref[:]  # [B, taps*W, P]
+        if "novpu" in ABLATE:
+            live = maskf
+            gs2 = []
+            for c in range(channels):
+                rows = [sel[:, c * tile_w + k, :] for k in range(6)]
+                rows += [live, live]
+                gs2.append(jnp.stack(rows, axis=1))
+            g2 = jnp.concatenate(gs2, axis=2) if channels > 1 else gs2[0]
+            if "nogram" not in ABLATE:
+                for b in range(block):
+                    out_ref[b] = jax.lax.dot_general(
+                        g2[b], g2[b],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+            else:
+                out_ref[:] = jnp.sum(g2, axis=2, keepdims=True) * jnp.ones(
+                    (block, 8, 8), f32)
+            return
         tmp = ky[0][:, None, :] * sel[:, 0:w_all, :]
         tmp_d = dky[0][:, None, :] * sel[:, 0:w_all, :]
         for j in range(1, taps):
@@ -357,13 +389,17 @@ def _make_kernel(
             gs.append(jnp.stack(rows, axis=1))  # [B, 8, P]
         g = jnp.concatenate(gs, axis=2) if channels > 1 else gs[0]
 
-        for b in range(block):
-            out_ref[b] = jax.lax.dot_general(
-                g[b],
-                g[b],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )
+        if "nogram" not in ABLATE:
+            for b in range(block):
+                out_ref[b] = jax.lax.dot_general(
+                    g[b],
+                    g[b],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+        else:
+            out_ref[:] = jnp.sum(g, axis=2, keepdims=True) * jnp.ones(
+                (block, 8, 8), f32)
 
     return (kernel_dma if dma_w else kernel), taps, w_all
 

@@ -184,13 +184,73 @@ def test_out_of_image_initial_guess_freezes_subset():
         guesses,
     )
     assert int(res.error[0]) == int(ErrorCode.NONE)
-    assert int(res.error[1]) == int(ErrorCode.INTERPOLATION_OUT_OF_IMAGE)
+    # u=300 maps the subset entirely outside the 48px image: the model
+    # itself leaves the image (enums.hpp:27), not just the interpolation
+    # margin.
+    assert int(res.error[1]) == int(ErrorCode.MODEL_OUT_OF_IMAGE)
     # frozen subset returns its untouched initial guess
     np.testing.assert_allclose(np.asarray(res.params)[1], [300.0, 0.0])
     assert float(res.chi[1]) == float(np.finfo(np.float32).max)
     # healthy subset converged to identity
     np.testing.assert_allclose(np.asarray(res.params)[0], [0.0, 0.0],
                                atol=1e-3)
+
+
+def test_interpolation_margin_vs_model_out_codes():
+    """A guess that keeps the warped subset inside the image but within the
+    bicubic validity margin raises INTERPOLATION_OUT_OF_IMAGE; one that
+    pushes points past the image edge raises MODEL_OUT_OF_IMAGE
+    (enums.hpp:25-35)."""
+    spk = Speckle(48, 48, seed=24)
+    und = spk.image(quantize=True)
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+        max_iterations=1,
+    )
+    pts = _grid(10, 10, 20, 20)  # spans x,y in [10, 20]
+    batch = make_batch([pts, pts], None, 0)
+    # subset 0: max x -> 20 + 26.5 = 46.5 <= 47 (inside image) but the
+    # bicubic window needs x < W - 2 = 46: margin-only violation.
+    # subset 1: max x -> 20 + 28 = 48 > 47: model point leaves the image.
+    guesses = np.array([[26.5, 0.0], [28.0, 0.0]], np.float32)
+    res = correlate(
+        cfg,
+        [jnp.asarray(und[..., None])],
+        [jnp.asarray(und[..., None])],
+        batch,
+        guesses,
+    )
+    assert int(res.error[0]) == int(ErrorCode.INTERPOLATION_OUT_OF_IMAGE)
+    assert int(res.error[1]) == int(ErrorCode.MODEL_OUT_OF_IMAGE)
+
+
+def test_singular_system_raises_solver_error():
+    """A constant-intensity subset has zero gradients everywhere: the
+    normal equations are singular and the damped solve yields a non-finite
+    step — the analog of a cuSolver failure (cuda_solver.cu:40-89), surfaced
+    as ErrorCode.SOLVER."""
+    spk = Speckle(64, 64, seed=7)
+    und = spk.image(quantize=True)
+    und[30:64, 0:34] = 128.0  # flat patch
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+    )
+    pts_flat = _grid(12, 40, 26, 54)  # inside the flat patch
+    pts_ok = _grid(40, 10, 54, 24)  # textured region
+    batch = make_batch([pts_flat, pts_ok], None, 0)
+    res = correlate(
+        cfg,
+        [jnp.asarray(und[..., None])],
+        [jnp.asarray(und[..., None])],
+        batch,
+        np.zeros((2, 2), np.float32),
+    )
+    assert int(res.error[0]) == int(ErrorCode.SOLVER)
+    assert int(res.error[1]) == int(ErrorCode.NONE)
 
 
 def test_color_translation_recovery():

@@ -187,3 +187,96 @@ def test_contour_tracking_and_cancel(tmp_path):
     np.testing.assert_allclose(
         shift, np.tile([[2 * du, 2 * dv]], (4, 1)), atol=0.05
     )
+
+
+def _edge_error_setup():
+    """Two sectors; sector 1 sits near the right edge and the growing
+    translation pushes its initial guess out of the image at pair 1."""
+    frames = _frames(5, 4.0, 0.0)
+    pts = [_grid_pts(20, 30, 36, 46), _grid_pts(70, 30, 86, 46)]
+    return frames, pts
+
+
+@pytest.mark.parametrize("mode", ["stop_all", "stop_frame", "continue"])
+def test_error_modes_distinguished(mode):
+    """Batched stop-all / stop-frame / continue semantics
+    (enums.hpp:80-85, manager_class.cpp:535-546, 793-805, 1493-1494)."""
+    from correlation_tpu.config import ErrorCode, ErrorMode
+
+    frames, pts = _edge_error_setup()
+    cfg = _cfg(
+        deformation=DeformationDescription.EULERIAN,
+        reference=ReferenceImage.FIRST,
+        error_mode={
+            "stop_all": ErrorMode.STOP_ALL,
+            "stop_frame": ErrorMode.STOP_FRAME,
+            "continue": ErrorMode.CONTINUE,
+        }[mode],
+    )
+    records = run_sequence(frames, pts, cfg)
+
+    # pair 0 is clean everywhere
+    assert list(records[0].error) == [0, 0]
+    np.testing.assert_allclose(records[0].params[1], [4.0, 0.0], atol=0.05)
+
+    if mode == "stop_all":
+        # the frame with the error is recorded, then the run stops
+        # (manager_class.cpp:1493-1494: report row, then break)
+        assert len(records) == 2
+        assert records[1].error[1] != 0
+        return
+
+    assert len(records) == 4
+    # pair 1: sector 1's extrapolated guess (~[8, 0]) maps into the bicubic
+    # margin -> out-of-image at the initial assembly
+    assert records[1].error[1] == int(ErrorCode.INTERPOLATION_OUT_OF_IMAGE)
+    assert records[1].error[0] == 0
+
+    if mode == "stop_frame":
+        # frozen: the errored sector's chained state did not advance
+        np.testing.assert_allclose(
+            records[1].params[1], records[0].params[1]
+        )
+    else:
+        # continue: state advances with the solver's returned params (the
+        # untouched initial guess for an init failure)
+        np.testing.assert_allclose(
+            records[1].params[1], [8.0, 0.0], atol=1e-4
+        )
+        # ... so the next extrapolated guess walks fully out of the image
+        assert records[2].error[1] == int(ErrorCode.MODEL_OUT_OF_IMAGE)
+
+    # the healthy sector keeps tracking through the whole run
+    for t, rec in enumerate(records):
+        assert rec.error[0] == 0
+        np.testing.assert_allclose(
+            rec.params[0], [4.0 * (t + 1), 0.0], atol=0.1
+        )
+
+
+def test_streaming_sequence_bounded_cache(tmp_path):
+    """The file-driven sequence holds a bounded decoded-frame cache
+    (VERDICT r2 item 5): a 12-frame run never caches more than
+    ahead + behind + 1 decoded frames."""
+    from PIL import Image
+
+    from correlation_tpu.sequence import run_sequence_from_files
+
+    du, dv = 0.3, -0.2
+    frames = _frames(12, du, dv, h=64, w=64)
+    paths = []
+    for t, f in enumerate(frames):
+        p = str(tmp_path / f"s{t:02d}.png")
+        Image.fromarray(f[..., 0].astype(np.uint8)).save(p)
+        paths.append(p)
+
+    pts = [_grid_pts(20, 20, 44, 44)]
+    cfg = _cfg()
+    stats = {}
+    records = run_sequence_from_files(paths, pts, cfg, io_stats=stats)
+    assert len(records) == 11
+    for t, rec in enumerate(records):
+        np.testing.assert_allclose(
+            rec.params[0], [du * (t + 1), dv * (t + 1)], atol=0.05
+        )
+    assert stats["max_cached"] <= 4  # ahead(2) + behind(1) + current
