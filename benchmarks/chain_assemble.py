@@ -83,7 +83,7 @@ def main():
         f = chain(
             lambda p: v2.fused_assemble(
                 model, interp, tile, tile, h, w, img, pixdata,
-                center, p, bbox, block,
+                center, p, bbox, block, tile_parts=1,
             )
         )
         print(

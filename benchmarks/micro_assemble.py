@@ -112,7 +112,7 @@ def main():
         def f(p):
             return v2.fused_assemble(
                 model, interp, tile, tile, h, w, img, pixdata,
-                center, p, bbox, block,
+                center, p, bbox, block, tile_parts=1,
             )
 
         f = jax.jit(f)

@@ -99,6 +99,10 @@ class LevelStatic(NamedTuple):
     img_w: int
     block: int = 16  # Pallas backend: subsets per grid step
     sep: bool = False  # pure-XLA separable-tiles backend (xla_sep)
+    # bf16 parts in the kernel's selection split: 1 when the deformed
+    # image is integer-valued 0..255 (uint8 pyramids — exact in one bf16),
+    # 3 otherwise (full f32 mantissa).
+    parts: int = 3
 
 
 class LevelResult(NamedTuple):
@@ -190,6 +194,7 @@ def solve_level(
                 level.bbox,
                 static.block,
                 img_prepared=True,
+                tile_parts=static.parts,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 
@@ -645,6 +650,7 @@ def compute_level_statics(
         th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
         use_sep = sep
         block = 0
+        parts = 3
         if not sep:
             p_pad = -(-int(mask.shape[1]) // 128) * 128
             channels = int(def_pyramid[lvl].shape[-1])
@@ -654,7 +660,19 @@ def compute_level_statics(
                 # block (huge subsets/tiles): run this level via the pure-
                 # XLA separable-tiles backend instead of OOMing Mosaic.
                 use_sep = True
-        out.append((lvl, LevelStatic(th, tw, h, w, block, use_sep)))
+            else:
+                # Integer-valued images (uint8 pyramids, ops/pyramid.py)
+                # are EXACT in a single bf16 part — the kernel's selection
+                # contraction shrinks 3x with zero numerical cost.  One
+                # tiny device reduce + readback per correlate call.
+                a = def_pyramid[lvl]
+                if bool(
+                    jnp.all(
+                        (jnp.floor(a) == a) & (a >= 0.0) & (a <= 256.0)
+                    )
+                ):
+                    parts = 1
+        out.append((lvl, LevelStatic(th, tw, h, w, block, use_sep, parts)))
     return tuple(out)
 
 

@@ -167,6 +167,7 @@ def _make_kernel(
     block: int,
     p_pad: int,
     dma_w: int = 0,
+    tile_parts: int = 3,
 ):
     """Build the Pallas kernel body for a block of `block` subsets.
 
@@ -205,6 +206,8 @@ def _make_kernel(
             i = pl.program_id(0)
             nsteps = pl.num_programs(0)
 
+            th_fetch = tile_h + 8  # sublane-alignment slack rows
+
             def issue(step, slot):
                 base = step * block
                 for b in range(block):
@@ -217,7 +220,7 @@ def _make_kernel(
                     for c in range(channels):
                         pltpu.make_async_copy(
                             img_ref.at[
-                                c, pl.ds(y0a, tile_h), pl.ds(x0a, dma_w)
+                                c, pl.ds(y0a, th_fetch), pl.ds(x0a, dma_w)
                             ],
                             raw_ref.at[slot, b * channels + c],
                             sems.at[slot, b * channels + c],
@@ -235,20 +238,26 @@ def _make_kernel(
             tiles = []
             for b in range(block):
                 base = i * block
+                y0 = org_all_ref[2 * (base + b)]
                 x0 = org_all_ref[2 * (base + b) + 1]
-                x0a = pl.multiple_of(x0 & ~127, 128)
-                dx = x0 - x0a
+                dy = y0 - (y0 & ~7)
+                dx = x0 - (x0 & ~127)
                 chans = []
                 for c in range(channels):
                     pltpu.make_async_copy(
-                        img_ref.at[c, pl.ds(0, tile_h), pl.ds(0, dma_w)],
+                        img_ref.at[c, pl.ds(0, th_fetch), pl.ds(0, dma_w)],
                         raw_ref.at[slot, b * channels + c],
                         sems.at[slot, b * channels + c],
                     ).wait()
+                    # Realign both axes: the DMA origin aligned down to the
+                    # (8, 128) HBM tiling; the rolls restore the exact tile
+                    # so the body (and the selection matmul's contraction)
+                    # sees tile_h x tile_w with no slack rows.
                     rolled = pltpu.roll(
                         raw_ref[slot, b * channels + c], dma_w - dx, axis=1
                     )
-                    chans.append(rolled[:, :tile_w])
+                    rolled = pltpu.roll(rolled, th_fetch - dy, axis=0)
+                    chans.append(rolled[:tile_h, :tile_w])
                 tiles.append(
                     jnp.concatenate(chans, axis=1)
                     if channels > 1 else chans[0]
@@ -301,16 +310,28 @@ def _make_kernel(
                 jnp.concatenate([tiles[:, j:, :]] + [zrow] * j, axis=1)
             )
         wide = jnp.concatenate(shifted, axis=2)  # [B, th, taps*W]
-        b1, b2, b3 = _split3_bf16(wide)
-        parts = jnp.concatenate([b1, b2, b3], axis=1)  # [B, 3*th, taps*W]
+        if tile_parts == 1:
+            # Integer-valued images (uint8 pyramids, ops/pyramid.py): every
+            # value 0..255 is EXACT in one bf16, so a single part suffices
+            # and the contraction is tile_h deep instead of 3*tile_h.
+            parts = wide.astype(jnp.bfloat16)
+        else:
+            b1, b2, b3 = _split3_bf16(wide)
+            ps = [b1, b2, b3][:tile_parts]
+            parts = jnp.concatenate(ps, axis=1)  # [B, parts*th, taps*W]
 
         # O[b, r, p] = (r == ry[b, p]), exact 0/1 in bf16.
         r_sub = jax.lax.broadcasted_iota(jnp.int32, (block, tile_h, p_pad), 1)
         onehot = (r_sub == ry[:, None, :]).astype(jnp.bfloat16)
 
         for b in range(block):
-            o3 = jnp.concatenate([onehot[b]] * 3, axis=0)  # [3*th, P]
-            # sel[j*W + c, p] = tile[ry[p] + j, c], exact to f32.
+            o3 = (
+                jnp.concatenate([onehot[b]] * tile_parts, axis=0)
+                if tile_parts > 1
+                else onehot[b]
+            )  # [parts*th, P]
+            # sel[j*W + c, p] = tile[ry[p] + j, c], exact to f32 (one part
+            # when integral; 8 bits of mantissa per extra part otherwise).
             sel_ref[b] = jax.lax.dot_general(
                 parts[b],
                 o3,
@@ -357,13 +378,20 @@ def _make_kernel(
             gs.append(jnp.stack(rows, axis=1))  # [B, 8, P]
         g = jnp.concatenate(gs, axis=2) if channels > 1 else gs[0]
 
+        # ---- batched Gram: ONE [8B, P] x [P, 8B] matmul per block --------
+        # Per-subset [8, P] Grams are contraction-bound (P cycles each, B
+        # per step); one block-wide product computes all of them in the
+        # same P cycles (the off-diagonal blocks are discarded).  The
+        # diagonal [8, 8] blocks are the per-subset normal equations.
+        g_all = g.reshape(block * 8, g.shape[-1])
+        big = jax.lax.dot_general(
+            g_all,
+            g_all,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [8B, 8B]
         for b in range(block):
-            out_ref[b] = jax.lax.dot_general(
-                g[b],
-                g[b],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )
+            out_ref[b] = big[8 * b : 8 * b + 8, 8 * b : 8 * b + 8]
 
     return (kernel_dma if dma_w else kernel), taps, w_all
 
@@ -534,7 +562,7 @@ def prepare_image(img: jax.Array, tile_w: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14)
+    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15)
 )
 def fused_assemble(
     model: FittingModel,
@@ -552,6 +580,7 @@ def fused_assemble(
     interpret: bool = False,
     in_kernel_dma: bool = True,
     img_prepared: bool = False,
+    tile_parts: int = 3,
 ) -> FusedAssembly:
     """Run the fused v2 assembly over all subsets.
 
@@ -575,6 +604,10 @@ def fused_assemble(
         interpreter has no DMA).
       img_prepared: img is already prepare_image output (padded,
         channel-major) — skips the in-loop pad/transpose.
+      tile_parts: bf16 parts in the selection split: 3 = full f32 mantissa
+        (default, exact for any image), 2 = 16 mantissa bits (~1e-5
+        relative), 1 = EXACT for integer-valued 0..255 images (uint8
+        pyramids) and the fastest — the contraction depth scales with it.
 
     Returns:
       FusedAssembly(A, b, chi, err) matching assemble_normal_equations.
@@ -588,9 +621,10 @@ def fused_assemble(
     h_pad8 = -(-img_h // 8) * 8
     w_pad128 = -(-img_w // 128) * 128
     if in_kernel_dma:
-        # Sublane slack: the DMA source offset aligns DOWN to a multiple of
-        # 8, so each tile carries up to 7 extra leading rows.
-        th_eff = tile_h + 8
+        # The DMA fetches tile_h + 8 rows (source offset aligns DOWN to a
+        # multiple of 8); the in-kernel sublane roll strips the slack so
+        # the body and the selection contraction see exactly tile_h rows.
+        th_fetch = tile_h + 8
         dma_w = dma_width(tile_w)
         if not img_prepared:
             img = prepare_image(img, tile_w)
@@ -598,15 +632,12 @@ def fused_assemble(
             model, interp, bbox, center, params,
             h_pad8, w_pad128, tile_h, tile_w,
         )
-        # Body origins: the tile's first row is the 8-aligned y; x is exact
-        # (the roll realigns lanes before the body sees the tile).
-        org_body = jnp.stack(
-            [origins[:, 0] & ~7, origins[:, 1]], axis=-1
-        )
+        # Body origins are exact: the rolls realign both axes before the
+        # body sees the tile.
+        org_body = origins
     else:
         if img_prepared:
             raise ValueError("img_prepared requires in_kernel_dma")
-        th_eff = tile_h
         pad_h = max(tile_h - img.shape[0], 0)
         pad_w = max(tile_w - img.shape[1], 0)
         if pad_h or pad_w:
@@ -633,11 +664,13 @@ def fused_assemble(
     scal = scal.at[:, :num_p].set(params)
 
     kernel, taps, w_all = _make_kernel(
-        model, interp, img_h, img_w, th_eff, tile_w, channels, block, p_pad,
+        model, interp, img_h, img_w, tile_h, tile_w, channels, block, p_pad,
         dma_w=dma_w if in_kernel_dma else 0,
+        tile_parts=tile_parts,
     )
     flops = s_pad * (
-        2 * (taps * w_all) * 3 * th_eff * p_pad + 2 * 8 * 8 * p_pad
+        2 * (taps * w_all) * tile_parts * tile_h * p_pad
+        + 2 * 8 * 8 * p_pad * block  # batched Gram incl. off-diagonals
     )
     common = [
         pl.BlockSpec((block, 8, p_pad), lambda i: (i, 0, 0),
@@ -652,7 +685,7 @@ def fused_assemble(
     out_shape = jax.ShapeDtypeStruct((s_pad, 8, 8), jnp.float32)
     cost = pl.CostEstimate(
         flops=flops,
-        bytes_accessed=s_pad * (th_eff * w_all * 4 + p_pad * 8 * 4 + 256),
+        bytes_accessed=s_pad * (tile_h * w_all * 4 + p_pad * 8 * 4 + 256),
         transcendentals=0,
     )
     if in_kernel_dma:
@@ -675,7 +708,7 @@ def fused_assemble(
             scratch_shapes=[
                 pltpu.VMEM((block, taps * w_all, p_pad), jnp.float32),
                 pltpu.VMEM(
-                    (2, block * channels, th_eff, dma_w), jnp.float32
+                    (2, block * channels, th_fetch, dma_w), jnp.float32
                 ),
                 pltpu.SemaphoreType.DMA((2, block * channels)),
             ],
@@ -692,7 +725,7 @@ def fused_assemble(
             kernel,
             grid=(s_pad // block,),
             in_specs=common + [
-                pl.BlockSpec((block, th_eff, channels * tile_w),
+                pl.BlockSpec((block, tile_h, channels * tile_w),
                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=out_spec,

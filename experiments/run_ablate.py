@@ -38,7 +38,7 @@ def main():
         p, acc = carry
         out = v2.fused_assemble(
             model, interp, tile, tile, h, w, img, pixdata, center, p,
-            bbox, block,
+            bbox, block, tile_parts=1,
         )
         p = p + 1e-9 * out.b_vec
         return p, acc + out.chi

@@ -234,10 +234,13 @@ def test_engine_pallas_backend_under_mesh():
     )
     assert res.params.shape[0] == 4
     np.testing.assert_array_equal(np.asarray(res.error), 0)
-    # The sharded program runs the same kernel per shard: results match the
-    # single-device solve exactly (same reduction order within a subset).
-    np.testing.assert_array_equal(
-        np.asarray(res.params), np.asarray(res_single.params)
+    # The sharded program runs the same kernel per shard.  The per-shard
+    # subset count changes the kernel block size, and the block-batched
+    # Gram matmul may reassociate its lane-chunk accumulation differently
+    # per block shape — so agreement is f32-rounding-tight, not bit-exact.
+    np.testing.assert_allclose(
+        np.asarray(res.params), np.asarray(res_single.params),
+        rtol=1e-5, atol=1e-6,
     )
     np.testing.assert_array_equal(
         np.asarray(res.iterations), np.asarray(res_single.iterations)

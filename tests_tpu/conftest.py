@@ -1,0 +1,23 @@
+"""Hardware-only suite: runs on a real TPU, SKIPS VISIBLY elsewhere.
+
+Unlike tests/ (which forces the CPU backend and a virtual 8-device mesh),
+this directory uses whatever accelerator the session has.  Run it in the
+bench environment so the benchmark numbers are produced by a suite that
+covers the hardware code paths:
+
+    python -m pytest tests_tpu/ -q
+"""
+
+import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return
+    skip = pytest.mark.skip(
+        reason=f"requires a real TPU (backend is {jax.default_backend()})"
+    )
+    for item in items:
+        item.add_marker(skip)
