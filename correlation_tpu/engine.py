@@ -9,14 +9,15 @@ Design shift: the reference solves ONE sector at a time with parallelism over
 pixels inside the sector; here ALL subsets solve simultaneously as a leading
 batch axis [S], and the per-subset divergent control flow (individual lambda
 schedules, convergence iterations, the saved-parameter reuse trick) runs as a
-masked lax.while_loop over phase-tagged per-subset state.  Each while step
-performs exactly one normal-equation assembly for every still-active subset,
-so total assembly work matches the reference iteration-for-iteration:
-
-  reference iteration            while-loop steps
-  ---------------------          -------------------------------------------
-  converging (use_saved)    ->   1 step  (EVAL at the saved parameters)
-  diverging  (recompute)    ->   2 steps (RECOMPUTE at last-good, then EVAL)
+masked lax.while_loop over per-subset state.  Every while step is exactly one
+reference ITERATION (one assembly at the tentative parameters + the chi
+comparison).  The reference's diverging branch launches a SECOND assembly at
+the last-good parameters to rebuild their normal equations
+(correlation_class.cpp:484-516, cuda_class.cu:183-200); assembly is a pure
+deterministic function, so this engine instead CACHES each accepted
+assembly's A/b in the loop state and reuses it for the revert step —
+bit-identical updates (verified against the NumPy oracle, including
+iteration counts) at one assembly per iteration instead of two.
 
 Reference semantics replicated exactly (correlation_class.cpp:349-640):
   * lambda schedule: start 1e-4, x0.4 on success / x10 on failure,
@@ -65,10 +66,6 @@ from correlation_tpu.ops.solve import lm_delta
 
 _FLT_MAX = np.float32(np.finfo(np.float32).max)
 
-# Phase tags for the while-loop state machine.
-_EVAL = 0  # assemble at the tentative parameters, compare chi
-_RECOMPUTE = 1  # re-assemble at last-good to rebuild the tentative step
-
 
 class LevelArrays(NamedTuple):
     """Per-pyramid-level solver inputs for a subset batch.
@@ -103,6 +100,10 @@ class LevelStatic(NamedTuple):
     # image is integer-valued 0..255 (uint8 pyramids — exact in one bf16),
     # 3 otherwise (full f32 mantissa).
     parts: int = 3
+    # Kernel micro-tuning (see assemble_v2.fused_assemble): overridable
+    # via CORRTPU_GRAM / CORRTPU_SLACK for hardware A/B runs.
+    gram: str = "slice"
+    slack: bool = False
 
 
 class LevelResult(NamedTuple):
@@ -128,9 +129,15 @@ class CorrelationResult(NamedTuple):
 class _LoopState(NamedTuple):
     p_cur: jax.Array  # [S, NP] the reference's `model_parameters`
     p_lastgood: jax.Array  # [S, NP]
+    # Cached normal equations AT p_lastgood — the assembly that accepted
+    # them.  The reference's diverging branch re-launches the kernel at
+    # last-good to rebuild exactly these (cuda_class.cu:183-200,
+    # correlation_class.cpp:484-516); assembly is deterministic, so the
+    # cache reproduces that recompute bit-for-bit at zero assemblies.
+    a_lg: jax.Array  # [S, NP, NP]
+    b_lg: jax.Array  # [S, NP]
     lam: jax.Array  # [S]
     last_good_chi: jax.Array  # [S]
-    phase: jax.Array  # [S] int32
     iteration: jax.Array  # [S] int32 current 1-based iteration
     reached: jax.Array  # [S] int32
     active: jax.Array  # [S] bool
@@ -195,6 +202,8 @@ def solve_level(
                 static.block,
                 img_prepared=True,
                 tile_parts=static.parts,
+                gram_mode=static.gram,
+                row_slack=static.slack,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 
@@ -280,9 +289,10 @@ def solve_level(
     state = _LoopState(
         p_cur=jnp.where(init_fail[:, None], params0, p_saved0),
         p_lastgood=params0,
+        a_lg=a_mat,
+        b_lg=b_vec,
         lam=lam0,
         last_good_chi=jnp.where(init_fail, _FLT_MAX, chi0),
-        phase=jnp.zeros((s,), jnp.int32),
         iteration=jnp.ones((s,), jnp.int32),
         reached=jnp.zeros((s,), jnp.int32),
         active=(~skip) & (~init_fail),
@@ -290,7 +300,7 @@ def solve_level(
         steps=jnp.int32(0),
     )
 
-    max_steps = 2 * (cfg.max_iterations + 1) + 2
+    max_steps = cfg.max_iterations + 2
     prec = f32(cfg.precision)
     lam_min = f32(cfg.lambda_min)
     lam_max = f32(cfg.lambda_max)
@@ -301,32 +311,20 @@ def solve_level(
         return jnp.any(st.active) & (st.steps < max_steps)
 
     def body(st: _LoopState) -> _LoopState:
-        is_eval = st.phase == _EVAL
-        q = jnp.where(is_eval[:, None], st.p_cur, st.p_lastgood)
+        # Every step is one reference iteration: assemble at the tentative
+        # parameters and compare chi.  A converging step computes the next
+        # update from this fresh assembly with the optimistic lambda
+        # (correlation_class.cpp:523); a diverging step reverts and
+        # computes it from the CACHED last-good assembly with the raised
+        # lambda — exactly what the reference's recompute pass rebuilds
+        # with a second kernel launch (correlation_class.cpp:484-516).
+        q = st.p_cur
 
         a_mat, b_vec, chi_raw, interp_err = assemble(q)
         chi = chi_raw * scaling
 
-        # The next-step update from this same assembly: EVAL uses the
-        # optimistic next lambda (correlation_class.cpp:523), RECOMPUTE the
-        # current one (correlation_class.cpp:492).
-        lam_used = jnp.where(
-            is_eval, jnp.maximum(st.lam * lam_down, lam_min), st.lam
-        )
-        dp = lm_delta(a_mat, b_vec, lam_used, scaling)
-        p_new = q + dp
-
-        # --- interpolation/solver errors abandon the level (both phases
-        # keep model_parameters = the assembled point q) --------------------
         err_now = st.active & interp_err
-        solver_now = (
-            st.active & ~interp_err
-            & ~jnp.all(jnp.isfinite(dp), axis=-1)
-        )
-        stop_err = err_now | solver_now
 
-        # --- EVAL phase ----------------------------------------------------
-        do_eval = st.active & is_eval & ~stop_err
         delta_chi = jnp.abs(
             (st.last_good_chi - chi)
             / (jnp.maximum(st.last_good_chi, chi) + prec)
@@ -337,34 +335,40 @@ def solve_level(
             jnp.maximum(st.lam * lam_down, lam_min),
             jnp.minimum(st.lam * lam_up, lam_max),
         )
+        conv_c = converging[:, None]
+        a_sel = jnp.where(conv_c[..., None], a_mat, st.a_lg)
+        b_sel = jnp.where(conv_c, b_vec, st.b_lg)
+        dp = lm_delta(a_sel, b_sel, lam_next, scaling)
+        p_new = jnp.where(conv_c, q, st.p_lastgood) + dp
+
+        # Singular damped system -> non-finite update: the reference's
+        # cuSolver failure (cuda_solver.cu:40-89).
+        solver_now = (
+            st.active & ~interp_err
+            & ~jnp.all(jnp.isfinite(dp), axis=-1)
+        )
+        stop_err = err_now | solver_now
+
+        do_step = st.active & ~stop_err
         converged = delta_chi < prec
         next_iter = st.iteration + 1
         exhausted = (next_iter > cfg.max_iterations) | (lam_next >= lam_max)
-        eval_stop = converged | exhausted
-
-        # --- RECOMPUTE phase -----------------------------------------------
-        do_rec = st.active & ~is_eval & ~stop_err
+        step_stop = converged | exhausted
 
         p_cur = jnp.where(
             stop_err[:, None],
             q,
-            jnp.where((do_eval | do_rec)[:, None], p_new, st.p_cur),
+            jnp.where(do_step[:, None], p_new, st.p_cur),
         )
-        p_lastgood = jnp.where(
-            (do_eval & converging)[:, None], q, st.p_lastgood
-        )
-        last_good_chi = jnp.where(
-            do_eval & converging, chi, st.last_good_chi
-        )
-        lam = jnp.where(do_eval, lam_next, st.lam)
-        phase = jnp.where(
-            do_eval,
-            jnp.where(converging, jnp.int32(_EVAL), jnp.int32(_RECOMPUTE)),
-            jnp.where(do_rec, jnp.int32(_EVAL), st.phase),
-        )
-        iteration = jnp.where(do_eval, next_iter, st.iteration)
-        reached = jnp.where(do_eval, st.iteration, st.reached)
-        active = st.active & ~stop_err & ~(do_eval & eval_stop)
+        accept = do_step & converging
+        p_lastgood = jnp.where(accept[:, None], q, st.p_lastgood)
+        a_lg = jnp.where(accept[:, None, None], a_mat, st.a_lg)
+        b_lg = jnp.where(accept[:, None], b_vec, st.b_lg)
+        last_good_chi = jnp.where(accept, chi, st.last_good_chi)
+        lam = jnp.where(do_step, lam_next, st.lam)
+        iteration = jnp.where(do_step, next_iter, st.iteration)
+        reached = jnp.where(do_step, st.iteration, st.reached)
+        active = st.active & ~stop_err & ~(do_step & step_stop)
         error = jnp.where(
             err_now,
             oob_code(q),
@@ -372,7 +376,7 @@ def solve_level(
                 solver_now,
                 jnp.int32(ErrorCode.SOLVER),
                 jnp.where(
-                    do_eval & exhausted & ~converged,
+                    do_step & exhausted & ~converged,
                     jnp.int32(ErrorCode.MAX_ITERS_REACHED),
                     st.error,
                 ),
@@ -381,9 +385,10 @@ def solve_level(
         return _LoopState(
             p_cur=p_cur,
             p_lastgood=p_lastgood,
+            a_lg=a_lg,
+            b_lg=b_lg,
             lam=lam,
             last_good_chi=last_good_chi,
-            phase=phase,
             iteration=iteration,
             reached=reached,
             active=active,
@@ -619,6 +624,35 @@ def _backend_uses_pallas(backend: str) -> bool:
     return backend == "pallas"
 
 
+# Integrality verdicts cached per live array: the device reduce + host
+# readback costs a full tunnel round-trip, which must not be paid on every
+# correlate() call over the same pyramid (bench/sequence reuse arrays).
+_INTEGRAL_CACHE: "weakref.WeakKeyDictionary" = None  # lazy init
+
+
+def _image_is_integral(a) -> bool:
+    """True when every value of `a` is an integer in [0, 256] (all such
+    values are exact in a single bfloat16)."""
+    global _INTEGRAL_CACHE
+    import weakref
+
+    if _INTEGRAL_CACHE is None:
+        _INTEGRAL_CACHE = weakref.WeakKeyDictionary()
+    try:
+        hit = _INTEGRAL_CACHE.get(a)
+    except TypeError:  # not weakref-able (plain numpy): check directly
+        arr = np.asarray(a)
+        return bool(
+            ((np.floor(arr) == arr) & (arr >= 0) & (arr <= 256)).all()
+        )
+    if hit is None:
+        hit = bool(
+            jnp.all((jnp.floor(a) == a) & (a >= 0.0) & (a <= 256.0))
+        )
+        _INTEGRAL_CACHE[a] = hit
+    return hit
+
+
 def compute_level_statics(
     cfg: SolverConfig, subsets, def_pyramid, backend: str | None = None
 ) -> tuple[tuple[int, "LevelStatic"], ...]:
@@ -660,19 +694,22 @@ def compute_level_statics(
                 # block (huge subsets/tiles): run this level via the pure-
                 # XLA separable-tiles backend instead of OOMing Mosaic.
                 use_sep = True
-            else:
+            elif _image_is_integral(def_pyramid[lvl]):
                 # Integer-valued images (uint8 pyramids, ops/pyramid.py)
                 # are EXACT in a single bf16 part — the kernel's selection
-                # contraction shrinks 3x with zero numerical cost.  One
-                # tiny device reduce + readback per correlate call.
-                a = def_pyramid[lvl]
-                if bool(
-                    jnp.all(
-                        (jnp.floor(a) == a) & (a >= 0.0) & (a <= 256.0)
-                    )
-                ):
-                    parts = 1
-        out.append((lvl, LevelStatic(th, tw, h, w, block, use_sep, parts)))
+                # contraction shrinks 3x with zero numerical cost.
+                parts = 1
+        import os
+
+        parts = int(os.environ.get("CORRTPU_PARTS", parts))
+        gram = os.environ.get("CORRTPU_GRAM", "slice")
+        slack = bool(int(os.environ.get("CORRTPU_SLACK", "0")))
+        if os.environ.get("CORRTPU_BLOCK") and block:
+            block = min(int(os.environ["CORRTPU_BLOCK"]), block)
+        out.append(
+            (lvl, LevelStatic(th, tw, h, w, block, use_sep, parts, gram,
+                              slack))
+        )
     return tuple(out)
 
 

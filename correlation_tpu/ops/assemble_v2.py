@@ -168,6 +168,9 @@ def _make_kernel(
     p_pad: int,
     dma_w: int = 0,
     tile_parts: int = 3,
+    gram_mode: str = "slice",
+    row_slack: bool = False,
+    th_fetch: int = 0,
 ):
     """Build the Pallas kernel body for a block of `block` subsets.
 
@@ -205,8 +208,6 @@ def _make_kernel(
             # dim would pad to 128 and blow the 1MB SMEM budget).
             i = pl.program_id(0)
             nsteps = pl.num_programs(0)
-
-            th_fetch = tile_h + 8  # sublane-alignment slack rows
 
             def issue(step, slot):
                 base = step * block
@@ -249,14 +250,19 @@ def _make_kernel(
                         raw_ref.at[slot, b * channels + c],
                         sems.at[slot, b * channels + c],
                     ).wait()
-                    # Realign both axes: the DMA origin aligned down to the
-                    # (8, 128) HBM tiling; the rolls restore the exact tile
-                    # so the body (and the selection matmul's contraction)
-                    # sees tile_h x tile_w with no slack rows.
+                    # Realign: the DMA origin aligned down to the (8, 128)
+                    # HBM tiling.  The lane roll restores exact x; rows are
+                    # either rolled too (row_slack=False: the selection
+                    # contracts over exactly tile_h rows) or left with the
+                    # <=7 leading slack rows (row_slack=True: the body works
+                    # on th_fetch rows with an aligned y origin — one fewer
+                    # roll per subset at the price of 8 extra contraction
+                    # rows).
                     rolled = pltpu.roll(
                         raw_ref[slot, b * channels + c], dma_w - dx, axis=1
                     )
-                    rolled = pltpu.roll(rolled, th_fetch - dy, axis=0)
+                    if not row_slack:
+                        rolled = pltpu.roll(rolled, th_fetch - dy, axis=0)
                     chans.append(rolled[:tile_h, :tile_w])
                 tiles.append(
                     jnp.concatenate(chans, axis=1)
@@ -378,20 +384,44 @@ def _make_kernel(
             gs.append(jnp.stack(rows, axis=1))  # [B, 8, P]
         g = jnp.concatenate(gs, axis=2) if channels > 1 else gs[0]
 
-        # ---- batched Gram: ONE [8B, P] x [P, 8B] matmul per block --------
-        # Per-subset [8, P] Grams are contraction-bound (P cycles each, B
-        # per step); one block-wide product computes all of them in the
-        # same P cycles (the off-diagonal blocks are discarded).  The
-        # diagonal [8, 8] blocks are the per-subset normal equations.
-        g_all = g.reshape(block * 8, g.shape[-1])
-        big = jax.lax.dot_general(
-            g_all,
-            g_all,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )  # [8B, 8B]
-        for b in range(block):
-            out_ref[b] = big[8 * b : 8 * b + 8, 8 * b : 8 * b + 8]
+        if gram_mode == "subset":
+            # One [8, P] x [P, 8] dot per subset.
+            for b in range(block):
+                out_ref[b] = jax.lax.dot_general(
+                    g[b],
+                    g[b],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+        else:
+            # ---- batched Gram: ONE [8B, P] x [P, 8B] matmul per block ----
+            # Per-subset [8, P] Grams are contraction-bound (P cycles each,
+            # B per step); one block-wide product computes all of them in
+            # the same pass structure (off-diagonal blocks are discarded).
+            g_all = g.reshape(block * 8, g.shape[-1])
+            big = jax.lax.dot_general(
+                g_all,
+                g_all,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [8B, 8B]
+            if gram_mode == "slice":
+                for b in range(block):
+                    out_ref[b] = big[8 * b : 8 * b + 8, 8 * b : 8 * b + 8]
+            else:  # "mask": extract every diagonal block without per-subset
+                # lane shuffles — zero the off-diagonal blocks and fold the
+                # lane axis: sum_c masked[8b+i, 8c+j] = big[8b+i, 8b+j].
+                r_id = jax.lax.broadcasted_iota(
+                    jnp.int32, (block * 8, block * 8), 0
+                )
+                c_id = jax.lax.broadcasted_iota(
+                    jnp.int32, (block * 8, block * 8), 1
+                )
+                diag = ((r_id >> 3) == (c_id >> 3)).astype(f32)
+                folded = jnp.sum(
+                    (big * diag).reshape(block * 8, block, 8), axis=1
+                )  # [8B, 8]
+                out_ref[:] = folded.reshape(block, 8, 8)
 
     return (kernel_dma if dma_w else kernel), taps, w_all
 
@@ -562,7 +592,7 @@ def prepare_image(img: jax.Array, tile_w: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15)
+    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15, 16, 17)
 )
 def fused_assemble(
     model: FittingModel,
@@ -581,6 +611,8 @@ def fused_assemble(
     in_kernel_dma: bool = True,
     img_prepared: bool = False,
     tile_parts: int = 3,
+    gram_mode: str = "slice",
+    row_slack: bool = False,
 ) -> FusedAssembly:
     """Run the fused v2 assembly over all subsets.
 
@@ -608,6 +640,14 @@ def fused_assemble(
         (default, exact for any image), 2 = 16 mantissa bits (~1e-5
         relative), 1 = EXACT for integer-valued 0..255 images (uint8
         pyramids) and the fastest — the contraction depth scales with it.
+      gram_mode: normal-equation reduction: "slice" = one block-batched
+        [8B, P] x [P, 8B] matmul with per-subset diagonal-block slices
+        (default), "subset" = one [8, P] dot per subset, "mask" =
+        batched matmul with mask+fold extraction (currently fails Mosaic
+        layout inference on the lane-splitting reshape).
+      row_slack: DMA path only — keep the <=7 sublane-alignment slack rows
+        in the tile (skips the per-subset row roll; the selection contracts
+        over tile_h + 8 rows instead).
 
     Returns:
       FusedAssembly(A, b, chi, err) matching assemble_normal_equations.
@@ -622,9 +662,10 @@ def fused_assemble(
     w_pad128 = -(-img_w // 128) * 128
     if in_kernel_dma:
         # The DMA fetches tile_h + 8 rows (source offset aligns DOWN to a
-        # multiple of 8); the in-kernel sublane roll strips the slack so
-        # the body and the selection contraction see exactly tile_h rows.
+        # multiple of 8); with row_slack=False the in-kernel sublane roll
+        # strips the slack so the body sees exactly tile_h rows.
         th_fetch = tile_h + 8
+        th_body = th_fetch if row_slack else tile_h
         dma_w = dma_width(tile_w)
         if not img_prepared:
             img = prepare_image(img, tile_w)
@@ -632,12 +673,18 @@ def fused_assemble(
             model, interp, bbox, center, params,
             h_pad8, w_pad128, tile_h, tile_w,
         )
-        # Body origins are exact: the rolls realign both axes before the
-        # body sees the tile.
-        org_body = origins
+        if row_slack:
+            # Tile rows start at the 8-aligned y; x is exact after the
+            # lane roll.
+            org_body = jnp.stack(
+                [origins[:, 0] & ~7, origins[:, 1]], axis=-1
+            )
+        else:
+            org_body = origins
     else:
         if img_prepared:
             raise ValueError("img_prepared requires in_kernel_dma")
+        th_body = tile_h
         pad_h = max(tile_h - img.shape[0], 0)
         pad_w = max(tile_w - img.shape[1], 0)
         if pad_h or pad_w:
@@ -664,13 +711,16 @@ def fused_assemble(
     scal = scal.at[:, :num_p].set(params)
 
     kernel, taps, w_all = _make_kernel(
-        model, interp, img_h, img_w, tile_h, tile_w, channels, block, p_pad,
+        model, interp, img_h, img_w, th_body, tile_w, channels, block, p_pad,
         dma_w=dma_w if in_kernel_dma else 0,
         tile_parts=tile_parts,
+        gram_mode=gram_mode,
+        row_slack=row_slack,
+        th_fetch=th_fetch if in_kernel_dma else 0,
     )
     flops = s_pad * (
-        2 * (taps * w_all) * tile_parts * tile_h * p_pad
-        + 2 * 8 * 8 * p_pad * block  # batched Gram incl. off-diagonals
+        2 * (taps * w_all) * tile_parts * th_body * p_pad
+        + 2 * 8 * 8 * p_pad * (block if gram_mode != "subset" else 1)
     )
     common = [
         pl.BlockSpec((block, 8, p_pad), lambda i: (i, 0, 0),
