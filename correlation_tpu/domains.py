@@ -40,6 +40,11 @@ class SubsetBatch:
     # at construction so engine.compute_level_statics never has to read the
     # (possibly device-resident) point arrays back to the host.
     extents: list[tuple[int, int]] | None = None
+    # Per-level {group_size: (ext_y, ext_x)} UNION spans of G consecutive
+    # subsets — the Pallas kernel packs G small subsets into one lane-wide
+    # kernel unit sharing a tile when their union stays compact
+    # (engine.compute_level_statics).
+    group_extents: list[dict] | None = None
 
     @property
     def num_subsets(self) -> int:
@@ -62,6 +67,7 @@ class SubsetBatch:
             mask=[jnp.asarray(a) for a in self.mask],
             center0=jnp.asarray(self.center0),
             extents=self.extents,
+            group_extents=self.group_extents,
         )
 
 
@@ -79,6 +85,34 @@ def _level_extents(xs, ms) -> list[tuple[int, int]]:
             out.append((int(np.ceil(span[1])), int(np.ceil(span[0]))))
         else:
             out.append((1, 1))
+    return out
+
+
+def _level_group_extents(xs, ms, groups=(2, 4)) -> list[dict]:
+    """Per level: {G: max UNION span of G consecutive subsets}.
+
+    Used to decide lane packing: G small subsets share one kernel unit
+    (and one image tile) when their union bounding box stays compact.
+    """
+    out = []
+    for xy, mask in zip(xs, ms):
+        d = {}
+        s = xy.shape[0]
+        if mask.any():
+            live = mask.any(axis=1)
+            mins = np.where(mask[..., None], xy, np.inf).min(axis=1)
+            maxs = np.where(mask[..., None], xy, -np.inf).max(axis=1)
+            mins = np.where(live[:, None], mins, np.inf)
+            maxs = np.where(live[:, None], maxs, -np.inf)
+            for g in groups:
+                if s % g or s < g:
+                    continue
+                u_min = mins.reshape(s // g, g, 2).min(axis=1)
+                u_max = maxs.reshape(s // g, g, 2).max(axis=1)
+                span = u_max - u_min
+                span = np.where(np.isfinite(span), span, 0.0).max(axis=0)
+                d[g] = (int(np.ceil(span[1])), int(np.ceil(span[0])))
+        out.append(d)
     return out
 
 
@@ -171,6 +205,7 @@ def make_batch(
     return SubsetBatch(
         xs, ms, np.asarray(centers, np.float32),
         extents=_level_extents(xs, ms),
+        group_extents=_level_group_extents(xs, ms),
     )
 
 

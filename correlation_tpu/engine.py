@@ -104,6 +104,9 @@ class LevelStatic(NamedTuple):
     # via CORRTPU_GRAM / CORRTPU_SLACK for hardware A/B runs.
     gram: str = "slice"
     slack: bool = False
+    # Lane packing: G consecutive subsets per kernel unit (coarse levels
+    # whose P_pad is a fraction of the 512-lane vector width).
+    group: int = 1
 
 
 class LevelResult(NamedTuple):
@@ -204,6 +207,7 @@ def solve_level(
                 tile_parts=static.parts,
                 gram_mode=static.gram,
                 row_slack=static.slack,
+                group=static.group,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 
@@ -460,7 +464,9 @@ def prepare_levels(
                 bbox=bbox, img_hw=img_hw,
             )
         else:
-            pixdata = v2.pack_pixdata(xy, mask, und_w, center)
+            pixdata = v2.pack_pixdata(
+                xy, mask, und_w, center, group=statics[lvl].group
+            )
             out[lvl] = LevelArrays(
                 xy,
                 mask,
@@ -654,9 +660,14 @@ def _image_is_integral(a) -> bool:
 
 
 def compute_level_statics(
-    cfg: SolverConfig, subsets, def_pyramid, backend: str | None = None
+    cfg: SolverConfig, subsets, def_pyramid, backend: str | None = None,
+    shard_divisor: int = 1,
 ) -> tuple[tuple[int, "LevelStatic"], ...]:
-    """Host-side static tile dims per level for the tiled backends."""
+    """Host-side static tile dims per level for the tiled backends.
+
+    shard_divisor: number of equal shards the subset axis will split into
+    (mesh data parallelism) — lane packing must divide each shard.
+    """
     from correlation_tpu.ops.assemble_v2 import choose_block, choose_tile
 
     backend = backend or cfg.backend
@@ -685,15 +696,43 @@ def compute_level_statics(
         use_sep = sep
         block = 0
         parts = 3
+        group = 1
         if not sep:
+            s = int(mask.shape[0])
             p_pad = -(-int(mask.shape[1]) // 128) * 128
             channels = int(def_pyramid[lvl].shape[-1])
-            block = choose_block(th, tw, p_pad, channels)
+            # Lane packing: when a subset's pixel lanes fill only a
+            # fraction of the 512-lane vector width (coarse levels), pack
+            # G consecutive subsets per kernel unit IF their union tiles
+            # stay compact (dense grids / ordered sectors) — the kernel's
+            # per-unit serial work then covers G subsets.
+            gx = subsets.group_extents
+            for g_try in (4, 2):
+                if (
+                    p_pad * g_try <= 512
+                    and gx is not None
+                    and g_try in gx[lvl]
+                    and s % (g_try * max(shard_divisor, 1)) == 0
+                ):
+                    uy, ux = gx[lvl][g_try]
+                    th_u, tw_u = choose_tile(uy, ux, hp, wp, cfg.tile_margin)
+                    # Worth packing only while the union tile stays near
+                    # the per-subset tile scale (compact groups).
+                    if tw_u <= max(2 * tw, 64) and th_u <= max(2 * th, 64):
+                        b_u = choose_block(
+                            th_u, tw_u, p_pad * g_try, channels
+                        )
+                        if b_u:
+                            group, th, tw, block = g_try, th_u, tw_u, b_u
+                            break
+            if group == 1:
+                block = choose_block(th, tw, p_pad, channels)
             if block == 0:
                 # The kernel working set exceeds VMEM even at the minimum
                 # block (huge subsets/tiles): run this level via the pure-
                 # XLA separable-tiles backend instead of OOMing Mosaic.
                 use_sep = True
+                group = 1
             elif _image_is_integral(def_pyramid[lvl]):
                 # Integer-valued images (uint8 pyramids, ops/pyramid.py)
                 # are EXACT in a single bf16 part — the kernel's selection
@@ -704,11 +743,21 @@ def compute_level_statics(
         parts = int(os.environ.get("CORRTPU_PARTS", parts))
         gram = os.environ.get("CORRTPU_GRAM", "slice")
         slack = bool(int(os.environ.get("CORRTPU_SLACK", "0")))
+        if os.environ.get("CORRTPU_GROUP"):
+            want = int(os.environ["CORRTPU_GROUP"])
+            if want == 1 and group != 1:
+                # Force packing off: recompute single-subset tile/block.
+                group = 1
+                th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
+                p_pad = -(-int(mask.shape[1]) // 128) * 128
+                block = choose_block(
+                    th, tw, p_pad, int(def_pyramid[lvl].shape[-1])
+                )
         if os.environ.get("CORRTPU_BLOCK") and block:
             block = min(int(os.environ["CORRTPU_BLOCK"]), block)
         out.append(
             (lvl, LevelStatic(th, tw, h, w, block, use_sep, parts, gram,
-                              slack))
+                              slack, group))
         )
     return tuple(out)
 
@@ -749,7 +798,10 @@ def correlate(
         # targets other devices (e.g. the virtual CPU test mesh).
         backend = "xla_sep"
     statics = (
-        compute_level_statics(cfg, subsets, def_pyramid, backend)
+        compute_level_statics(
+            cfg, subsets, def_pyramid, backend,
+            shard_divisor=(mesh.devices.size if mesh is not None else 1),
+        )
         if backend != "xla"
         else None
     )

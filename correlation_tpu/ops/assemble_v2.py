@@ -171,6 +171,7 @@ def _make_kernel(
     gram_mode: str = "slice",
     row_slack: bool = False,
     th_fetch: int = 0,
+    group: int = 1,
 ):
     """Build the Pallas kernel body for a block of `block` subsets.
 
@@ -281,7 +282,25 @@ def _make_kernel(
         dxc = pixdata_ref[:, _ROW_DXC, :]
         dyc = pixdata_ref[:, _ROW_DYC, :]
 
-        p = [params_ref[:, k : k + 1] for k in range(6)]  # [B, 1] bcast
+        if group == 1:
+            gmasks = None
+            p = [params_ref[:, k : k + 1] for k in range(6)]  # [B, 1] bcast
+        else:
+            # G packed subsets per unit: lane block g belongs to subset g
+            # of the unit, with its own parameters.
+            p_sub = p_pad // group
+            glane = (
+                jax.lax.broadcasted_iota(jnp.int32, (block, p_pad), 1)
+                // p_sub
+            )
+            gmasks = [(glane == g).astype(f32) for g in range(group)]
+            p = [
+                sum(
+                    gmasks[g] * params_ref[:, g * 8 + k : g * 8 + k + 1]
+                    for g in range(group)
+                )
+                for k in range(6)
+            ]
         xd, yd = _warp(model, p, x, y, dxc, dyc)
 
         ax = jnp.floor(xd)
@@ -381,47 +400,60 @@ def _make_kernel(
             h = _h_rows(model, dwdx, dwdy, dxc, dyc)
             rows = h + [v, bad if c == 0 else zero]
             rows = rows + [zero] * (8 - len(rows))
-            gs.append(jnp.stack(rows, axis=1))  # [B, 8, P]
+            if group == 1:
+                gs.append(jnp.stack(rows, axis=1))  # [B, 8, P]
+            else:
+                # [B, G*8, P]: subset g's rows are zero outside its lane
+                # block, so the Gram contraction over ALL lanes reduces
+                # each subset over exactly its own pixels.
+                grows = [r * gmasks[g] for g in range(group) for r in rows]
+                gs.append(jnp.stack(grows, axis=1))
         g = jnp.concatenate(gs, axis=2) if channels > 1 else gs[0]
 
+        n_out = block * group
         if gram_mode == "subset":
-            # One [8, P] x [P, 8] dot per subset.
+            # One [G*8, P] x [P, G*8] dot per unit.
             for b in range(block):
-                out_ref[b] = jax.lax.dot_general(
+                gg = jax.lax.dot_general(
                     g[b],
                     g[b],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=f32,
                 )
+                for k in range(group):
+                    out_ref[b * group + k] = gg[
+                        8 * k : 8 * k + 8, 8 * k : 8 * k + 8
+                    ]
         else:
-            # ---- batched Gram: ONE [8B, P] x [P, 8B] matmul per block ----
-            # Per-subset [8, P] Grams are contraction-bound (P cycles each,
-            # B per step); one block-wide product computes all of them in
-            # the same pass structure (off-diagonal blocks are discarded).
-            g_all = g.reshape(block * 8, g.shape[-1])
+            # ---- batched Gram: ONE [8N, P] x [P, 8N] matmul per block ----
+            # (N = block * group).  Per-subset [8, P] Grams are
+            # contraction-bound (P cycles each); one block-wide product
+            # computes all of them in the same pass structure
+            # (off-diagonal blocks are discarded).
+            g_all = g.reshape(n_out * 8, g.shape[-1])
             big = jax.lax.dot_general(
                 g_all,
                 g_all,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
-            )  # [8B, 8B]
+            )  # [8N, 8N]
             if gram_mode == "slice":
-                for b in range(block):
+                for b in range(n_out):
                     out_ref[b] = big[8 * b : 8 * b + 8, 8 * b : 8 * b + 8]
             else:  # "mask": extract every diagonal block without per-subset
                 # lane shuffles — zero the off-diagonal blocks and fold the
                 # lane axis: sum_c masked[8b+i, 8c+j] = big[8b+i, 8b+j].
                 r_id = jax.lax.broadcasted_iota(
-                    jnp.int32, (block * 8, block * 8), 0
+                    jnp.int32, (n_out * 8, n_out * 8), 0
                 )
                 c_id = jax.lax.broadcasted_iota(
-                    jnp.int32, (block * 8, block * 8), 1
+                    jnp.int32, (n_out * 8, n_out * 8), 1
                 )
                 diag = ((r_id >> 3) == (c_id >> 3)).astype(f32)
                 folded = jnp.sum(
-                    (big * diag).reshape(block * 8, block, 8), axis=1
-                )  # [8B, 8]
-                out_ref[:] = folded.reshape(block, 8, 8)
+                    (big * diag).reshape(n_out * 8, n_out, 8), axis=1
+                )  # [8N, 8]
+                out_ref[:] = folded.reshape(n_out, 8, 8)
 
     return (kernel_dma if dma_w else kernel), taps, w_all
 
@@ -461,10 +493,13 @@ def subset_bbox(xy: jax.Array, mask: jax.Array) -> jax.Array:
     )
 
 
-def pack_pixdata(xy, mask, und_w, center) -> jax.Array:
-    """Build the packed [S, 8, P_pad] pixel array (pixels on lanes).
+def pack_pixdata(xy, mask, und_w, center, group: int = 1) -> jax.Array:
+    """Build the packed [S/G, 8, G*P_pad] pixel array (pixels on lanes).
 
     und_w: [S, P] or [S, P, C] with C <= 3 (channels land in rows 5..7).
+    group: pack G consecutive subsets into one kernel unit — their pixel
+      lanes concatenate (subset g of a unit owns lanes [g*P_pad,
+      (g+1)*P_pad)); requires S % G == 0.
     """
     s, p = mask.shape
     if und_w.ndim == 2:
@@ -488,7 +523,15 @@ def pack_pixdata(xy, mask, und_w, center) -> jax.Array:
         axis=1,
     )  # [S, 8, P]
     out = jnp.zeros((s, 8, p_pad), jnp.float32)
-    return out.at[:, :, :p].set(rows)
+    out = out.at[:, :, :p].set(rows)
+    if group > 1:
+        if s % group:
+            raise ValueError(f"group {group} must divide S {s}")
+        out = out.reshape(s // group, group, 8, p_pad)
+        out = out.transpose(0, 2, 1, 3).reshape(
+            s // group, 8, group * p_pad
+        )
+    return out
 
 
 def compute_origins(
@@ -501,17 +544,21 @@ def compute_origins(
     padded_w: int,
     tile_h: int,
     tile_w: int,
+    group: int = 1,
 ) -> jax.Array:
     """Tile origins from the warped subset bounding box.
 
     bbox: [S, 4, 2] the four corners of each subset's axis-aligned bounding
     box (all supported warps are affine, so warped corners bound the warped
     subset).  Origins cover the spline halo and clip inside the padded
-    image.
+    image.  With group G the warped corners of G consecutive subsets merge
+    into one unit origin ([S/G, 2]).
     """
     from correlation_tpu.models.warp import warp_points
 
     corners = warp_points(model, params, bbox, center)  # [S, 4, 2]
+    if group > 1:
+        corners = corners.reshape(corners.shape[0] // group, 4 * group, 2)
     halo = 1 if interp == Interpolation.BICUBIC else 0
     min_xy = jnp.floor(jnp.min(corners, axis=1)) - (halo + 1)
     x0 = min_xy[..., 0].astype(jnp.int32)
@@ -550,7 +597,7 @@ def dma_width(tile_w: int) -> int:
 
 def choose_block(
     tile_h: int, tile_w: int, p_pad: int, channels: int,
-    vmem_budget: int = 24 * 1024 * 1024,
+    vmem_budget: int = 13 * 1024 * 1024,
 ) -> int:
     """Subsets per grid step, sized so the kernel's VMEM working set
     (sel scratch + shifted tile copies + double-buffered DMA tiles +
@@ -592,7 +639,8 @@ def prepare_image(img: jax.Array, tile_w: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15, 16, 17)
+    jax.jit,
+    static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15, 16, 17, 18),
 )
 def fused_assemble(
     model: FittingModel,
@@ -613,6 +661,7 @@ def fused_assemble(
     tile_parts: int = 3,
     gram_mode: str = "slice",
     row_slack: bool = False,
+    group: int = 1,
 ) -> FusedAssembly:
     """Run the fused v2 assembly over all subsets.
 
@@ -648,11 +697,22 @@ def fused_assemble(
       row_slack: DMA path only — keep the <=7 sublane-alignment slack rows
         in the tile (skips the per-subset row roll; the selection contracts
         over tile_h + 8 rows instead).
+      group: lane packing — G consecutive subsets share one kernel unit
+        (pixdata pre-packed with pack_pixdata(group=G), tile dims covering
+        the G-subset UNION).  Small subsets (coarse pyramid levels) whose
+        P_pad fills only a fraction of the 512-lane vector width pack
+        G = 512 // P_pad to a unit, dividing the kernel's per-unit serial
+        work (DMA + rolls + selection matmul issue) across G subsets.
 
     Returns:
       FusedAssembly(A, b, chi, err) matching assemble_normal_equations.
     """
-    s, _, p_pad = pixdata.shape
+    units, _, p_pad = pixdata.shape  # units = S // group; p_pad = total
+    s = params.shape[0]
+    if s != units * group:
+        raise ValueError(
+            f"params S={s} != pixdata units {units} * group {group}"
+        )
     num_p = params.shape[-1]
     channels = int(img.shape[0] if img_prepared else img.shape[-1])
     if interpret:
@@ -671,7 +731,7 @@ def fused_assemble(
             img = prepare_image(img, tile_w)
         origins = compute_origins(
             model, interp, bbox, center, params,
-            h_pad8, w_pad128, tile_h, tile_w,
+            h_pad8, w_pad128, tile_h, tile_w, group=group,
         )
         if row_slack:
             # Tile rows start at the 8-aligned y; x is exact after the
@@ -692,23 +752,30 @@ def fused_assemble(
         origins = compute_origins(
             model, interp, bbox, center, params,
             int(img.shape[0]), int(img.shape[1]), tile_h, tile_w,
+            group=group,
         )
         org_body = origins
         tiles = extract_tiles(img, origins, tile_h, tile_w)
 
-    block = max(1, min(block, s))
-    s_pad = -(-s // block) * block
-    if s_pad != s:
-        grow = s_pad - s
+    block = max(1, min(block, units))
+    u_pad = -(-units // block) * block
+    if u_pad != units:
+        grow = u_pad - units
         pixdata = jnp.pad(pixdata, ((0, grow), (0, 0), (0, 0)))
-        params = jnp.pad(params, ((0, grow), (0, 0)))
+        params = jnp.pad(params, ((0, grow * group), (0, 0)))
         origins = jnp.pad(origins, ((0, grow), (0, 0)))
         org_body = jnp.pad(org_body, ((0, grow), (0, 0)))
         if not in_kernel_dma:
             tiles = jnp.pad(tiles, ((0, grow), (0, 0), (0, 0)))
+    s_pad = u_pad * group
 
-    scal = jnp.zeros((s_pad, 8), jnp.float32)
-    scal = scal.at[:, :num_p].set(params)
+    # Per-unit parameter rows: [U, G*8] with each group's NP params in its
+    # own 8-slot band.
+    scal = jnp.zeros((u_pad, group, 8), jnp.float32)
+    scal = scal.at[:, :, :num_p].set(
+        params.reshape(u_pad, group, num_p)
+    )
+    scal = scal.reshape(u_pad, group * 8)
 
     kernel, taps, w_all = _make_kernel(
         model, interp, img_h, img_w, th_body, tile_w, channels, block, p_pad,
@@ -717,25 +784,28 @@ def fused_assemble(
         gram_mode=gram_mode,
         row_slack=row_slack,
         th_fetch=th_fetch if in_kernel_dma else 0,
+        group=group,
     )
-    flops = s_pad * (
+    flops = u_pad * (
         2 * (taps * w_all) * tile_parts * th_body * p_pad
-        + 2 * 8 * 8 * p_pad * (block if gram_mode != "subset" else 1)
+        + 2 * 8 * 8 * p_pad
+        * (block * group if gram_mode != "subset" else group)
     )
+    gb = group * 8
     common = [
         pl.BlockSpec((block, 8, p_pad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 8), lambda i: (i, 0),
+        pl.BlockSpec((block, gb), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((block, 2), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((block, 8, 8), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((block * group, 8, 8), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((s_pad, 8, 8), jnp.float32)
     cost = pl.CostEstimate(
         flops=flops,
-        bytes_accessed=s_pad * (tile_h * w_all * 4 + p_pad * 8 * 4 + 256),
+        bytes_accessed=u_pad * (tile_h * w_all * 4 + p_pad * 8 * 4 + 256),
         transcendentals=0,
     )
     if in_kernel_dma:
@@ -744,17 +814,19 @@ def fused_assemble(
         common_sp = [
             pl.BlockSpec((block, 8, p_pad), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 8), lambda i, o: (i, 0),
+            pl.BlockSpec((block, gb), lambda i, o: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 2), lambda i, o: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # full origins array, read ahead for
-            grid=(s_pad // block,),  # the next block's DMA issue
+            grid=(u_pad // block,),  # the next block's DMA issue
             in_specs=common_sp + [pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((block, 8, 8), lambda i, o: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(
+                (block * group, 8, 8), lambda i, o: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block, taps * w_all, p_pad), jnp.float32),
                 pltpu.VMEM(
@@ -773,7 +845,7 @@ def fused_assemble(
     else:
         out = pl.pallas_call(
             kernel,
-            grid=(s_pad // block,),
+            grid=(u_pad // block,),
             in_specs=common + [
                 pl.BlockSpec((block, tile_h, channels * tile_w),
                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
