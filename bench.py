@@ -79,6 +79,8 @@ def build_problem(num_subsets: int, img_hw: int = 1024, half: int = 10,
 
 
 def main():
+    import sys
+
     import jax
 
     from correlation_tpu.engine import correlate
@@ -87,18 +89,24 @@ def main():
     cfg, und_pyr, def_pyr, batch, params0 = build_problem(num_subsets)
 
     def run():
-        res = correlate(cfg, und_pyr, def_pyr, batch, params0)
+        return correlate(cfg, und_pyr, def_pyr, batch, params0)
+
+    def sync(res):
         # Force a device->host readback: through tunneled/async PJRT
         # plugins block_until_ready can return before execution finishes,
         # which would make the measurement dispatch-only.
         np.asarray(res.params[:1])
-        return res
 
-    run()  # warmup / compile
+    sync(run())  # warmup / compile
     reps = 5
+    # Throughput measurement: the reps are independent frame solves, so
+    # they pipeline — dispatch of rep i+1 overlaps execution of rep i
+    # (exactly how a production frame loop overlaps solve with prefetch).
+    # The final readback bounds the whole batch.
     t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
+    results = [run() for _ in range(reps)]
+    for res in results:
+        sync(res)
     dt = (time.perf_counter() - t0) / reps
 
     solves_per_s = num_subsets / dt
@@ -112,6 +120,38 @@ def main():
             }
         )
     )
+
+    if "--reference-defaults" in sys.argv:
+        # Reference-parity semantics (mainapp.cpp:204,208): max_iters=50,
+        # precision=1e-3 — subsets converge individually; adaptive work.
+        import dataclasses
+
+        cfg_ref = dataclasses.replace(
+            cfg, max_iterations=50, precision=1e-3
+        )
+
+        def run_ref():
+            return correlate(cfg_ref, und_pyr, def_pyr, batch, params0)
+
+        sync(run_ref())
+        t0 = time.perf_counter()
+        results = [run_ref() for _ in range(reps)]
+        for res in results:
+            sync(res)
+        dt = (time.perf_counter() - t0) / reps
+        iters = float(np.asarray(results[-1].iterations).mean())
+        print(
+            json.dumps(
+                {
+                    "metric": "subset_gn_solves_per_s_reference_defaults",
+                    "value": round(num_subsets / dt, 1),
+                    "unit": "solves/s",
+                    "max_iterations": 50,
+                    "precision": 1e-3,
+                    "mean_iterations": round(iters, 2),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -154,6 +154,36 @@ def _round_points(pts: np.ndarray) -> np.ndarray:
     return np.floor(pts + 0.5).astype(np.float32)
 
 
+def _warp_ragged(
+    model: FittingModel,
+    params: np.ndarray,
+    point_lists: list[np.ndarray],
+    centers: np.ndarray,
+) -> list[np.ndarray]:
+    """Warp S ragged per-sector point lists in ONE batched dispatch.
+
+    The reference warps one sector at a time (kModel_inPlace per sector,
+    cuda_polygon.cu:268-415); at dense-grid scale that is thousands of
+    dispatches per frame.  Here the ragged lists pad to [S, P_max, 2],
+    warp in a single warp_points call, and split back.
+    """
+    s = len(point_lists)
+    lens = [len(p) for p in point_lists]
+    p_max = max(max(lens), 1)
+    xy = np.zeros((s, p_max, 2), np.float32)
+    for i, p in enumerate(point_lists):
+        xy[i, : lens[i]] = p
+    out = np.asarray(
+        warp_points(
+            model,
+            jnp.asarray(params),
+            jnp.asarray(xy),
+            jnp.asarray(centers),
+        )
+    )
+    return [out[i, : lens[i]].copy() for i in range(s)]
+
+
 def advance_domain(
     state: _TrackState,
     cfg: SequenceConfig,
@@ -182,18 +212,11 @@ def advance_domain(
                 _round_points(c + offset[i])
                 for i, c in enumerate(state.und_contours)
             ]
-    else:  # strict Lagrangian: every point individually warped
-        state.und_points = [
-            np.asarray(
-                warp_points(
-                    model,
-                    jnp.asarray(state.params[i]),
-                    jnp.asarray(p),
-                    jnp.asarray(state.und_center[i]),
-                )
-            )
-            for i, p in enumerate(state.und_points)
-        ]
+    else:  # strict Lagrangian: every point individually warped — one
+        # batched dispatch for all sectors (VERDICT r2 item 6)
+        state.und_points = _warp_ragged(
+            model, state.params, state.und_points, state.und_center
+        )
         if state.def_contours is not None:
             # und contour becomes last frame's deformed contour
             # (manager_class.cpp:362-365)
@@ -234,17 +257,15 @@ def update_results(
         + state.und_angle
     )
     if state.und_contours is not None:
-        # contour warped about the und GLOBAL center
-        # (manager_class.cpp:2404-2427)
-        gc = jnp.asarray(state.und_global_center)
-        state.def_contours = [
-            np.asarray(
-                warp_points(
-                    model, jnp.asarray(params[i]), jnp.asarray(c), gc
-                )
-            )
-            for i, c in enumerate(state.und_contours)
-        ]
+        # contour warped about the und GLOBAL center, all sectors in one
+        # batched dispatch (manager_class.cpp:2404-2427)
+        gc = np.tile(
+            np.asarray(state.und_global_center, np.float32),
+            (params.shape[0], 1),
+        )
+        state.def_contours = _warp_ragged(
+            model, params, state.und_contours, gc
+        )
     n = n_points.astype(np.float64)
     total = max(n.sum(), 1.0)
     state.def_global_angle = float((state.def_angle * n).sum() / total)

@@ -359,3 +359,32 @@ def test_lm_trajectory_matches_oracle_ragged_domains(domain):
         assert int(res.iterations[i]) == out["iterations"], (
             i, int(res.iterations[i]), out["iterations"],
         )
+
+
+def test_choose_block_vmem_fallback_to_sep():
+    """Oversized subsets whose kernel working set exceeds VMEM at even the
+    minimum block must fall back to the xla_sep backend for that level
+    instead of OOMing Mosaic (ADVICE r2 medium)."""
+    from correlation_tpu.engine import compute_level_statics
+    from correlation_tpu.ops.assemble_v2 import choose_block
+
+    # ~63x63-px subsets: sel scratch alone is 4*72*4096*4B ~ 4.7MB/subset
+    assert choose_block(72, 72, 4096, 1) == 0
+
+    pts = _grid(20, 20, 82, 82)  # 63x63 = 3969 points
+    batch = make_batch([pts, pts], None, 0)
+    img = jnp.zeros((512, 512, 1), jnp.float32)
+    cfg = SolverConfig(
+        model=FittingModel.AFFINE,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 0),
+    )
+    statics = dict(compute_level_statics(cfg, batch, [img], "pallas"))
+    assert statics[0].sep  # level routed to the separable-tiles backend
+
+    # sane subsets stay on the Pallas kernel
+    batch_small = make_batch([_grid(20, 20, 40, 40)], None, 0)
+    statics2 = dict(
+        compute_level_statics(cfg, batch_small, [img], "pallas")
+    )
+    assert not statics2[0].sep and statics2[0].block >= 8
