@@ -701,15 +701,21 @@ def compute_level_statics(
             s = int(mask.shape[0])
             p_pad = -(-int(mask.shape[1]) // 128) * 128
             channels = int(def_pyramid[lvl].shape[-1])
+            if _image_is_integral(def_pyramid[lvl]):
+                # Integer-valued images (uint8 pyramids, ops/pyramid.py)
+                # are EXACT in a single bf16 part — the kernel's selection
+                # contraction shrinks 3x and the sel scratch halves, with
+                # zero numerical cost.
+                parts = 1
             # Lane packing: when a subset's pixel lanes fill only a
-            # fraction of the 512-lane vector width (coarse levels), pack
-            # G consecutive subsets per kernel unit IF their union tiles
-            # stay compact (dense grids / ordered sectors) — the kernel's
-            # per-unit serial work then covers G subsets.
+            # fraction of the vector width (up to 1024 lanes = 8 vregs),
+            # pack G consecutive subsets per kernel unit IF their union
+            # tiles stay compact (dense grids / ordered sectors) — the
+            # kernel's per-unit serial work then covers G subsets.
             gx = subsets.group_extents
             for g_try in (4, 2):
                 if (
-                    p_pad * g_try <= 512
+                    p_pad * g_try <= 1024
                     and gx is not None
                     and g_try in gx[lvl]
                     and s % (g_try * max(shard_divisor, 1)) == 0
@@ -720,24 +726,21 @@ def compute_level_statics(
                     # the per-subset tile scale (compact groups).
                     if tw_u <= max(2 * tw, 64) and th_u <= max(2 * th, 64):
                         b_u = choose_block(
-                            th_u, tw_u, p_pad * g_try, channels
+                            th_u, tw_u, p_pad * g_try, channels,
+                            tile_parts=parts,
                         )
                         if b_u:
                             group, th, tw, block = g_try, th_u, tw_u, b_u
                             break
             if group == 1:
-                block = choose_block(th, tw, p_pad, channels)
+                block = choose_block(th, tw, p_pad, channels,
+                                     tile_parts=parts)
             if block == 0:
                 # The kernel working set exceeds VMEM even at the minimum
                 # block (huge subsets/tiles): run this level via the pure-
                 # XLA separable-tiles backend instead of OOMing Mosaic.
                 use_sep = True
                 group = 1
-            elif _image_is_integral(def_pyramid[lvl]):
-                # Integer-valued images (uint8 pyramids, ops/pyramid.py)
-                # are EXACT in a single bf16 part — the kernel's selection
-                # contraction shrinks 3x with zero numerical cost.
-                parts = 1
         import os
 
         parts = int(os.environ.get("CORRTPU_PARTS", parts))

@@ -357,15 +357,20 @@ def _make_kernel(
             )  # [parts*th, P]
             # sel[j*W + c, p] = tile[ry[p] + j, c], exact to f32 (one part
             # when integral; 8 bits of mantissa per extra part otherwise).
-            sel_ref[b] = jax.lax.dot_general(
+            # Integral images: the selected values are integers 0..255,
+            # exact in bf16 — sel stores them at half the VMEM.
+            picked = jax.lax.dot_general(
                 parts[b],
                 o3,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )  # [taps*W, P]
+            sel_ref[b] = (
+                picked.astype(jnp.bfloat16) if tile_parts == 1 else picked
+            )
 
         # ---- tap-row combination (batched, lanes = pixels) ----------------
-        sel = sel_ref[:]  # [B, taps*W, P]
+        sel = sel_ref[:].astype(f32)  # [B, taps*W, P]
         tmp = ky[0][:, None, :] * sel[:, 0:w_all, :]
         tmp_d = dky[0][:, None, :] * sel[:, 0:w_all, :]
         for j in range(1, taps):
@@ -598,27 +603,32 @@ def dma_width(tile_w: int) -> int:
 def choose_block(
     tile_h: int, tile_w: int, p_pad: int, channels: int,
     vmem_budget: int = 13 * 1024 * 1024,
+    tile_parts: int = 3,
 ) -> int:
-    """Subsets per grid step, sized so the kernel's VMEM working set
+    """Kernel units per grid step, sized so the kernel's VMEM working set
     (sel scratch + shifted tile copies + double-buffered DMA tiles +
     pixdata blocks) stays within budget.  Returns 0 when even the minimum
-    block of 8 cannot fit — callers fall back to the xla_sep backend for
-    that level instead of risking a Mosaic VMEM OOM."""
+    block of 4 cannot fit — callers fall back to the xla_sep backend for
+    that level instead of risking a Mosaic VMEM OOM.
+
+    With tile_parts == 1 the selected values are integers 0..255, exact in
+    bfloat16, so the dominant sel scratch halves."""
     taps = 4
     w_all = channels * tile_w
     th_eff = tile_h + 8  # DMA sublane-alignment slack
-    per_subset = 4 * (
-        taps * w_all * p_pad  # sel scratch
-        + taps * w_all * th_eff * 2  # wide + bf16 parts (approx)
-        + 3 * th_eff * p_pad  # onehot + iota temps
-        + 2 * channels * th_eff * dma_width(tile_w)  # double-buffered DMA
-        + 2 * 8 * p_pad  # double-buffered pixdata
+    sel_bytes = 2 if tile_parts == 1 else 4
+    per_subset = (
+        sel_bytes * taps * w_all * p_pad  # sel scratch
+        + 4 * taps * w_all * th_eff * 2  # wide + bf16 parts (approx)
+        + 4 * 3 * th_eff * p_pad  # onehot + iota temps
+        + 4 * 2 * channels * th_eff * dma_width(tile_w)  # dbl-buffered DMA
+        + 4 * 2 * 8 * p_pad  # double-buffered pixdata
     )
-    # Multiple of 8: Mosaic requires 2-D block shapes (params/origins refs
-    # are [block, k]) whose sublane dim divides by 8.
     fit = vmem_budget // max(per_subset, 1)
-    if fit < 8:
+    if fit < 4:
         return 0
+    if fit < 8:
+        return 4
     return min(64, fit & ~7)
 
 
@@ -791,6 +801,7 @@ def fused_assemble(
         + 2 * 8 * 8 * p_pad
         * (block * group if gram_mode != "subset" else group)
     )
+    sel_dtype = jnp.bfloat16 if tile_parts == 1 else jnp.float32
     gb = group * 8
     common = [
         pl.BlockSpec((block, 8, p_pad), lambda i: (i, 0, 0),
@@ -828,7 +839,7 @@ def fused_assemble(
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((block, taps * w_all, p_pad), jnp.float32),
+                pltpu.VMEM((block, taps * w_all, p_pad), sel_dtype),
                 pltpu.VMEM(
                     (2, block * channels, th_fetch, dma_w), jnp.float32
                 ),
@@ -853,7 +864,7 @@ def fused_assemble(
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=[
-                pltpu.VMEM((block, taps * w_all, p_pad), jnp.float32),
+                pltpu.VMEM((block, taps * w_all, p_pad), sel_dtype),
             ],
             cost_estimate=cost,
             interpret=interpret,

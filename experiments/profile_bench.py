@@ -106,7 +106,9 @@ def main():
                 out = v2.fused_assemble(
                     cfg.model, cfg.interpolation, st.tile_h, st.tile_w,
                     st.img_h, st.img_w, la.def_img, la.pixdata, la.center,
-                    pp, la.bbox, st.block,
+                    pp, la.bbox, st.block, img_prepared=True,
+                    tile_parts=st.parts, gram_mode=st.gram,
+                    row_slack=st.slack, group=st.group,
                 )
                 pp = pp + 1e-9 * out.b_vec
                 return pp, acc + out.chi
@@ -143,7 +145,7 @@ def main():
     orig = v2mod.fused_assemble
 
     def fake(model, interp, th, tw, ih, iw, img, pixdata, center, params,
-             bbox, block=16, interpret=False, in_kernel_dma=True):
+             bbox, block=16, **kwargs):
         s = params.shape[0]
         npar = params.shape[1]
         a = jnp.tile(jnp.eye(npar, dtype=jnp.float32)[None], (s, 1, 1))
