@@ -110,6 +110,15 @@ def main():
     dt = (time.perf_counter() - t0) / reps
 
     solves_per_s = num_subsets / dt
+    # Trust guard: a broken kernel must not post a fast number.  With
+    # precision=1e-12 the stopping test is unreachable, so subsets are
+    # EXPECTED to finish as MAX_ITERS_REACHED (that's the fixed work);
+    # genuine failures are the out-of-image / solver / domain codes.
+    errors = np.asarray(results[-1].error)
+    hard_frac = float(np.mean((errors != 0) & (errors != 3)))
+    p_last = np.asarray(results[-1].params)
+    assert np.isfinite(p_last).all(), "non-finite parameters"
+    assert hard_frac < 0.005, f"hard-error fraction {hard_frac}"
     print(
         json.dumps(
             {
@@ -117,6 +126,7 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 1e5, 4),
+                "hard_error_frac": round(hard_frac, 5),
             }
         )
     )

@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--precision", type=float, default=1e-3)
     ap.add_argument("--guess", nargs="*", type=float,
                     help="global initial guess parameters")
+    ap.add_argument("--auto-guess", action="store_true",
+                    help="seed the frame-0 global (u, v) by FFT phase "
+                         "correlation of the first frame pair (for large "
+                         "displacements beyond the pyramid capture range)")
     ap.add_argument("--deformation", choices=sorted(_DEFORM),
                     default="eulerian")
     ap.add_argument("--reference", choices=sorted(_REF), default="first")
@@ -208,6 +212,21 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.auto_guess:
+        from correlation_tpu.io import load_image
+        from correlation_tpu.ops.seed import global_guess_from_pair
+
+        guess = global_guess_from_pair(
+            load_image(args.images[0], not args.color),
+            load_image(args.images[1], not args.color),
+            global_center,
+            solver.num_params,
+        )
+        print(
+            f"auto-guess (phase correlation): u={guess[0]:.0f} "
+            f"v={guess[1] if solver.num_params > 1 else 0:.0f}",
+            file=sys.stderr,
+        )
 
     import contextlib
 
