@@ -41,6 +41,7 @@ def build_problem(num_subsets: int, img_hw: int = 1024, half: int = 10,
     )
     und = np.floor(base[4 : img_hw + 4, 4 : img_hw + 4] * 2.0 % 255.0)
     dfm = np.floor(base[3 : img_hw + 3, 4 : img_hw + 4] * 2.0 % 255.0)
+    raw = (und.astype(np.float32), dfm.astype(np.float32))
 
     cfg = SolverConfig(
         model=FittingModel.AFFINE,
@@ -75,48 +76,78 @@ def build_problem(num_subsets: int, img_hw: int = 1024, half: int = 10,
     und_pyr = build_pyramid(jnp.asarray(und[..., None], jnp.float32), stop)
     def_pyr = build_pyramid(jnp.asarray(dfm[..., None], jnp.float32), stop)
     params0 = jnp.zeros((num_subsets, cfg.num_params), jnp.float32)
-    return cfg, und_pyr, def_pyr, batch, params0
+    return cfg, und_pyr, def_pyr, batch, params0, raw
 
 
 def main():
     import sys
 
     import jax
+    import jax.numpy as jnp
 
-    from correlation_tpu.engine import correlate
+    from correlation_tpu.engine import (
+        compute_level_statics,
+        correlate_frames,
+        resolve_backend,
+    )
 
     num_subsets = 4096
-    cfg, und_pyr, def_pyr, batch, params0 = build_problem(num_subsets)
+    frame_chunk = 8  # SequenceConfig.frame_chunk default
+    cfg, und_pyr, def_pyr, batch, params0, raw = build_problem(num_subsets)
+
+    # The production frame loop (sequence.run_sequence, Eulerian): K frame
+    # solves chained inside ONE dispatch via lax.scan, pyramids built
+    # in-jit — the per-call dispatch/tunnel latency (tens of ms through
+    # this tunnel) amortizes over the chunk exactly as in a real run.
+    # Frames are staged on device up front (a real run's prefetcher
+    # overlaps the uploads with solving).
+    und, dfm = raw
+    stack = jnp.asarray(
+        np.stack([und] + [dfm] * frame_chunk)[..., None], jnp.float32
+    )
+    backend = resolve_backend(cfg, 1)
+    statics = (
+        compute_level_statics(cfg, batch, def_pyr, backend)
+        if backend != "xla"
+        else None
+    )
 
     def run():
-        return correlate(cfg, und_pyr, def_pyr, batch, params0)
+        return correlate_frames(
+            cfg,
+            stack,
+            batch,
+            guess0=params0,
+            reference_first=True,
+            first_chunk=True,
+            statics=statics,
+        )
 
-    def sync(res):
+    def sync(out):
         # Force a device->host readback: through tunneled/async PJRT
         # plugins block_until_ready can return before execution finishes,
         # which would make the measurement dispatch-only.
-        np.asarray(res.params[:1])
+        np.asarray(out["params"][-1, :1])
 
     sync(run())  # warmup / compile
-    reps = 5
-    # Throughput measurement: the reps are independent frame solves, so
-    # they pipeline — dispatch of rep i+1 overlaps execution of rep i
-    # (exactly how a production frame loop overlaps solve with prefetch).
-    # The final readback bounds the whole batch.
+    reps = 3
+    # Chunk dispatches pipeline (rep i+1's dispatch overlaps rep i's
+    # execution, as consecutive chunks do in a production run); the final
+    # readbacks bound the whole batch.
     t0 = time.perf_counter()
     results = [run() for _ in range(reps)]
-    for res in results:
-        sync(res)
-    dt = (time.perf_counter() - t0) / reps
+    for out in results:
+        sync(out)
+    dt = (time.perf_counter() - t0) / (reps * frame_chunk)
 
     solves_per_s = num_subsets / dt
     # Trust guard: a broken kernel must not post a fast number.  With
     # precision=1e-12 the stopping test is unreachable, so subsets are
     # EXPECTED to finish as MAX_ITERS_REACHED (that's the fixed work);
     # genuine failures are the out-of-image / solver / domain codes.
-    errors = np.asarray(results[-1].error)
+    errors = np.asarray(results[-1]["error"])
     hard_frac = float(np.mean((errors != 0) & (errors != 3)))
-    p_last = np.asarray(results[-1].params)
+    p_last = np.asarray(results[-1]["params"])
     assert np.isfinite(p_last).all(), "non-finite parameters"
     assert hard_frac < 0.005, f"hard-error fraction {hard_frac}"
     print(
@@ -127,6 +158,7 @@ def main():
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 1e5, 4),
                 "hard_error_frac": round(hard_frac, 5),
+                "frame_chunk": frame_chunk,
             }
         )
     )
@@ -139,17 +171,30 @@ def main():
         cfg_ref = dataclasses.replace(
             cfg, max_iterations=50, precision=1e-3
         )
+        statics_ref = (
+            compute_level_statics(cfg_ref, batch, def_pyr, backend)
+            if backend != "xla"
+            else None
+        )
 
         def run_ref():
-            return correlate(cfg_ref, und_pyr, def_pyr, batch, params0)
+            return correlate_frames(
+                cfg_ref,
+                stack,
+                batch,
+                guess0=params0,
+                reference_first=True,
+                first_chunk=True,
+                statics=statics_ref,
+            )
 
         sync(run_ref())
         t0 = time.perf_counter()
         results = [run_ref() for _ in range(reps)]
-        for res in results:
-            sync(res)
-        dt = (time.perf_counter() - t0) / reps
-        iters = float(np.asarray(results[-1].iterations).mean())
+        for out in results:
+            sync(out)
+        dt = (time.perf_counter() - t0) / (reps * frame_chunk)
+        iters = float(np.asarray(results[-1]["iterations"]).mean())
         print(
             json.dumps(
                 {
@@ -159,6 +204,29 @@ def main():
                     "max_iterations": 50,
                     "precision": 1e-3,
                     "mean_iterations": round(iters, 2),
+                }
+            )
+        )
+
+    if "--single-dispatch" in sys.argv:
+        # The pre-round-4 per-frame-dispatch mode, kept for comparison.
+        from correlation_tpu.engine import correlate
+
+        def run1():
+            return correlate(cfg, und_pyr, def_pyr, batch, params0)
+
+        np.asarray(run1().params[:1])
+        t0 = time.perf_counter()
+        res1 = [run1() for _ in range(5)]
+        for r in res1:
+            np.asarray(r.params[:1])
+        dt1 = (time.perf_counter() - t0) / 5
+        print(
+            json.dumps(
+                {
+                    "metric": "subset_gn_solves_per_s_single_dispatch",
+                    "value": round(num_subsets / dt1, 1),
+                    "unit": "solves/s",
                 }
             )
         )

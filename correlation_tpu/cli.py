@@ -213,6 +213,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
     if args.auto_guess:
+        if args.guess:
+            print(
+                "--auto-guess cannot be combined with --guess "
+                "(pick one initial-guess source)",
+                file=sys.stderr,
+            )
+            return 2
+        if len(args.images) < 2:
+            print(
+                "--auto-guess needs at least two images",
+                file=sys.stderr,
+            )
+            return 2
         from correlation_tpu.io import load_image
         from correlation_tpu.ops.seed import global_guess_from_pair
 

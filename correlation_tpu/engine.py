@@ -101,12 +101,16 @@ class LevelStatic(NamedTuple):
     # 3 otherwise (full f32 mantissa).
     parts: int = 3
     # Kernel micro-tuning (see assemble_v2.fused_assemble): overridable
-    # via CORRTPU_GRAM / CORRTPU_SLACK for hardware A/B runs.
-    gram: str = "slice"
+    # via CORRTPU_GRAM / CORRTPU_SLACK / CORRTPU_SEL for hardware A/B runs.
+    gram: str = "unit"
     slack: bool = False
     # Lane packing: G consecutive subsets per kernel unit (coarse levels
     # whose P_pad is a fraction of the 512-lane vector width).
     group: int = 1
+    sel: str = "batched"
+    # Tile source: "vmem" = whole level image VMEM-resident (no DMA),
+    # "dma" = double-buffered per-unit async copies (images too big).
+    tsrc: str = "dma"
 
 
 class LevelResult(NamedTuple):
@@ -208,6 +212,8 @@ def solve_level(
                 gram_mode=static.gram,
                 row_slack=static.slack,
                 group=static.group,
+                sel_mode=static.sel,
+                tile_src=static.tsrc,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 
@@ -555,6 +561,196 @@ def correlate_prepared(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _correlate_frames_jit(
+    cfg,
+    statics,
+    ref_first: bool,
+    stop_frame: bool,
+    frames_stack,  # [K+1, H, W, C] device frames (stack[0] = predecessor)
+    xy,
+    mask,
+    center0,
+    guess0,  # [S, NP] override guess for scan step `override_step`
+    override_step,  # int32 scalar: -1 = никогда; 0 = first chunk
+    p_seed,  # [S, NP] chained params entering the chunk
+    prev_seed,  # [S, NP] params one frame earlier (const-velocity base)
+    chi_seed,  # [S] previous chi (STOP_FRAME frozen-record values)
+    it_seed,  # [S] previous iterations
+):
+    """Solve K consecutive frame pairs in ONE dispatch (lax.scan).
+
+    The TPU answer to the reference's frame loop + prefetch overlap
+    (manager_class.cpp:1381-1475): pyramids for the whole chunk build
+    in-jit (vmapped convs), and the per-call dispatch/tunnel latency —
+    which dominates a single-frame solve — amortizes over K frames.
+    Fixed-geometry (Eulerian) only: the subset arrays are scan-invariant.
+
+    Initial-guess chaining reproduces manager_class.cpp:2672-2700: with
+    ref_first (Eulerian + reference First) each frame's guess is the
+    constant-velocity extrapolation p + (p - p_prev); otherwise the
+    previous result.  Seeding p_seed = prev_seed = guess makes step 0 of
+    a fresh sequence start exactly from the customized frame-0 guess.
+    """
+    from correlation_tpu.ops.pyramid import build_pyramid
+
+    statics_d = dict(statics) if statics else None
+    k = frames_stack.shape[0] - 1
+    pyr_stack = jax.vmap(
+        lambda im: build_pyramid(im, cfg.pyramid.stop)
+    )(frames_stack)
+    n_points0 = jnp.sum(mask[0], axis=-1)
+
+    def body(carry, i):
+        p, prev, chi_c, it_c = carry
+        if ref_first:
+            guess = p + (p - prev)
+            und_idx = 0
+        else:
+            guess = p
+            und_idx = i
+        guess = jnp.where(i == override_step, guess0, guess)
+        und_pyr = [
+            jax.lax.dynamic_index_in_dim(L, und_idx, keepdims=False)
+            for L in pyr_stack
+        ]
+        def_pyr = [
+            jax.lax.dynamic_index_in_dim(L, i + 1, keepdims=False)
+            for L in pyr_stack
+        ]
+        levels = prepare_levels(
+            cfg, und_pyr, def_pyr, xy, mask, center0, statics_d
+        )
+        res = correlate_prepared(
+            cfg, levels, guess, center0, n_points0, statics_d
+        )
+        if stop_frame:
+            # Batched stop-frame: an errored sector's chained state does
+            # not advance, and its emitted record keeps the previous
+            # chi/iterations (plus the error code) — the batched analog
+            # of the reference's skipped sectors retaining previous
+            # values (manager_class.cpp:535-546).  At the sequence's
+            # first frame the fallback is the zero-initialized host state
+            # (initial_track_state), not the seeded guess.
+            bad = res.error != jnp.int32(ErrorCode.NONE)
+            fallback = jnp.where(
+                i == override_step, jnp.zeros_like(p), p
+            )
+            p_new = jnp.where(bad[:, None], fallback, res.params)
+            chi_new = jnp.where(bad, chi_c, res.chi)
+            it_new = jnp.where(bad, it_c, res.iterations)
+        else:
+            p_new, chi_new, it_new = res.params, res.chi, res.iterations
+        out = (p_new, guess, chi_new, it_new, res.error)
+        return (p_new, p, chi_new, it_new), out
+
+    carry, ys = jax.lax.scan(
+        body,
+        (p_seed, prev_seed, chi_seed, it_seed),
+        jnp.arange(k, dtype=jnp.int32),
+    )
+    return carry, ys
+
+
+def correlate_frames(
+    cfg: SolverConfig,
+    frames_stack,
+    subsets,
+    guess0,
+    *,
+    reference_first: bool = True,
+    stop_frame: bool = False,
+    first_chunk: bool = True,
+    p_seed=None,
+    prev_seed=None,
+    chi_seed=None,
+    it_seed=None,
+    statics=None,
+) -> dict:
+    """Chained Eulerian multi-frame solve (one dispatch for K pairs).
+
+    Args:
+      cfg: solver configuration.
+      frames_stack: [K+1, H, W, C] images — element 0 is the chunk's
+        undeformed base (sequence frame 0 for reference-First, the
+        preceding frame otherwise); elements 1..K are the deformed frames.
+      subsets: a domains.SubsetBatch (fixed geometry across the chunk).
+      guess0: [S, NP] the frame-0 initial guess (used when first_chunk).
+      reference_first: ReferenceImage.FIRST semantics (und = stack[0]
+        for every pair + constant-velocity guess extrapolation).
+      stop_frame: ErrorMode.STOP_FRAME freezing inside the chain.
+      first_chunk: this chunk starts the sequence (step 0 uses guess0).
+      p_seed/prev_seed/chi_seed/it_seed: chained state entering the chunk
+        (from the previous chunk's outputs); default zeros.
+
+    Returns dict with stacked per-frame arrays: params, guess, chi,
+    iterations, error ([K, ...]) and the carry for the next chunk.
+    """
+    frames_stack = jnp.asarray(frames_stack)
+    num_colors = int(frames_stack.shape[-1])
+    backend = resolve_backend(cfg, num_colors)
+    if statics is None and backend != "xla":
+        # Statics (tile dims, integrality) come from the chunk's base
+        # frame and are assumed uniform across the sequence (uint8
+        # pyramids).  Callers driving many chunks should compute them
+        # once and pass `statics` to skip the per-chunk device readback.
+        from correlation_tpu.ops.pyramid import build_pyramid
+
+        pyr0 = build_pyramid(frames_stack[0], cfg.pyramid.stop)
+        statics = compute_level_statics(cfg, subsets, pyr0, backend)
+    s = subsets.num_subsets
+    xy = [jnp.asarray(a) for a in subsets.xy]
+    mask = [jnp.asarray(a) for a in subsets.mask]
+    center0 = jnp.asarray(subsets.center0)
+    guess0 = jnp.asarray(guess0, jnp.float32)
+    if first_chunk:
+        # Seeding p = prev = guess reproduces the host chain exactly:
+        # guess_1 = p0 + (p0 - guess0) (manager_class.cpp:2677-2686 with
+        # prev_params still holding the initial guess).
+        p_seed = guess0 if p_seed is None else jnp.asarray(p_seed)
+        prev_seed = guess0 if prev_seed is None else jnp.asarray(prev_seed)
+        override = jnp.int32(0)
+    else:
+        p_seed = jnp.asarray(p_seed)
+        prev_seed = jnp.asarray(prev_seed)
+        override = jnp.int32(-1)
+    chi_seed = (
+        jnp.zeros((s,), jnp.float32) if chi_seed is None
+        else jnp.asarray(chi_seed)
+    )
+    it_seed = (
+        jnp.zeros((s,), jnp.int32) if it_seed is None
+        else jnp.asarray(it_seed, jnp.int32)
+    )
+    carry, ys = _correlate_frames_jit(
+        cfg,
+        statics,
+        reference_first,
+        stop_frame,
+        jnp.asarray(frames_stack),
+        xy,
+        mask,
+        center0,
+        guess0,
+        override,
+        p_seed,
+        prev_seed,
+        chi_seed,
+        it_seed,
+    )
+    params, guess, chi, iters, error = ys
+    return {
+        "params": params,
+        "guess": guess,
+        "chi": chi,
+        "iterations": iters,
+        "error": error,
+        "carry": carry,
+        "center0": center0,
+        "n_points0": jnp.sum(mask[0], axis=-1).astype(jnp.int32),
+    }
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _correlate_jit(
     cfg, statics, und_pyramid, def_pyramid, xy, mask, center0, params0
@@ -633,30 +829,37 @@ def _backend_uses_pallas(backend: str) -> bool:
 # Integrality verdicts cached per live array: the device reduce + host
 # readback costs a full tunnel round-trip, which must not be paid on every
 # correlate() call over the same pyramid (bench/sequence reuse arrays).
-_INTEGRAL_CACHE: "weakref.WeakKeyDictionary" = None  # lazy init
+# Keyed by id() with a weakref guard — JAX arrays are weakref-able but NOT
+# hashable, so a WeakKeyDictionary cannot hold them.
+_INTEGRAL_CACHE: dict = {}
 
 
 def _image_is_integral(a) -> bool:
     """True when every value of `a` is an integer in [0, 256] (all such
     values are exact in a single bfloat16)."""
-    global _INTEGRAL_CACHE
     import weakref
 
-    if _INTEGRAL_CACHE is None:
-        _INTEGRAL_CACHE = weakref.WeakKeyDictionary()
+    if isinstance(a, np.ndarray):
+        return bool(((np.floor(a) == a) & (a >= 0) & (a <= 256)).all())
+    key = id(a)
+    hit = _INTEGRAL_CACHE.get(key)
+    if hit is not None:
+        ref, verdict = hit
+        if ref() is a:
+            return verdict
+    # One device-side reduce + scalar readback per distinct array.
+    verdict = bool(
+        jnp.all((jnp.floor(a) == a) & (a >= 0.0) & (a <= 256.0))
+    )
     try:
-        hit = _INTEGRAL_CACHE.get(a)
-    except TypeError:  # not weakref-able (plain numpy): check directly
-        arr = np.asarray(a)
-        return bool(
-            ((np.floor(arr) == arr) & (arr >= 0) & (arr <= 256)).all()
-        )
-    if hit is None:
-        hit = bool(
-            jnp.all((jnp.floor(a) == a) & (a >= 0.0) & (a <= 256.0))
-        )
-        _INTEGRAL_CACHE[a] = hit
-    return hit
+        if len(_INTEGRAL_CACHE) > 256:  # drop entries whose array died
+            for k in [k for k, (r, _) in _INTEGRAL_CACHE.items()
+                      if r() is None]:
+                del _INTEGRAL_CACHE[k]
+        _INTEGRAL_CACHE[key] = (weakref.ref(a), verdict)
+    except TypeError:
+        pass
+    return verdict
 
 
 def compute_level_statics(
@@ -668,10 +871,21 @@ def compute_level_statics(
     shard_divisor: number of equal shards the subset axis will split into
     (mesh data parallelism) — lane packing must divide each shard.
     """
+    import os
+
     from correlation_tpu.ops.assemble_v2 import choose_block, choose_tile
 
     backend = backend or cfg.backend
     sep = backend == "xla_sep"
+    # Env overrides resolve BEFORE block/tile sizing so choose_block sees
+    # the effective parts/group values (a post-hoc parts=3 override would
+    # otherwise run a working set larger than the VMEM budget the block
+    # was chosen under).
+    env_parts = os.environ.get("CORRTPU_PARTS")
+    env_group = os.environ.get("CORRTPU_GROUP")
+    gram = os.environ.get("CORRTPU_GRAM", "unit")
+    slack = bool(int(os.environ.get("CORRTPU_SLACK", "0")))
+    sel = os.environ.get("CORRTPU_SEL", "batched")
     out = []
     for lvl in cfg.pyramid.levels_coarse_to_fine():
         if subsets.extents is not None:
@@ -697,16 +911,32 @@ def compute_level_statics(
         block = 0
         parts = 3
         group = 1
+        tsrc = "dma"
+        img_bytes = 0
         if not sep:
+            from correlation_tpu.ops.assemble_v2 import (
+                IMG_VMEM_BUDGET,
+                prepared_img_bytes,
+            )
+
             s = int(mask.shape[0])
             p_pad = -(-int(mask.shape[1]) // 128) * 128
             channels = int(def_pyramid[lvl].shape[-1])
+            ib = prepared_img_bytes(h, w, channels, tw)
+            env_tsrc = os.environ.get("CORRTPU_TSRC")
+            tsrc = env_tsrc or (
+                "vmem" if ib <= IMG_VMEM_BUDGET else "dma"
+            )
+            if tsrc.startswith("vmem"):
+                img_bytes = ib
             if _image_is_integral(def_pyramid[lvl]):
                 # Integer-valued images (uint8 pyramids, ops/pyramid.py)
                 # are EXACT in a single bf16 part — the kernel's selection
                 # contraction shrinks 3x and the sel scratch halves, with
                 # zero numerical cost.
                 parts = 1
+            if env_parts:
+                parts = int(env_parts)
             # Lane packing: when a subset's pixel lanes fill only a
             # fraction of the vector width (up to 1024 lanes = 8 vregs),
             # pack G consecutive subsets per kernel unit IF their union
@@ -727,40 +957,37 @@ def compute_level_statics(
                     if tw_u <= max(2 * tw, 64) and th_u <= max(2 * th, 64):
                         b_u = choose_block(
                             th_u, tw_u, p_pad * g_try, channels,
-                            tile_parts=parts,
+                            tile_parts=parts, img_bytes=img_bytes,
                         )
                         if b_u:
                             group, th, tw, block = g_try, th_u, tw_u, b_u
                             break
             if group == 1:
                 block = choose_block(th, tw, p_pad, channels,
-                                     tile_parts=parts)
+                                     tile_parts=parts,
+                                     img_bytes=img_bytes)
             if block == 0:
                 # The kernel working set exceeds VMEM even at the minimum
                 # block (huge subsets/tiles): run this level via the pure-
                 # XLA separable-tiles backend instead of OOMing Mosaic.
                 use_sep = True
                 group = 1
-        import os
-
-        parts = int(os.environ.get("CORRTPU_PARTS", parts))
-        gram = os.environ.get("CORRTPU_GRAM", "slice")
-        slack = bool(int(os.environ.get("CORRTPU_SLACK", "0")))
-        if os.environ.get("CORRTPU_GROUP"):
-            want = int(os.environ["CORRTPU_GROUP"])
+        if env_group and not sep:
+            want = int(env_group)
             if want == 1 and group != 1:
                 # Force packing off: recompute single-subset tile/block.
                 group = 1
                 th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
                 p_pad = -(-int(mask.shape[1]) // 128) * 128
                 block = choose_block(
-                    th, tw, p_pad, int(def_pyramid[lvl].shape[-1])
+                    th, tw, p_pad, int(def_pyramid[lvl].shape[-1]),
+                    tile_parts=parts, img_bytes=img_bytes,
                 )
         if os.environ.get("CORRTPU_BLOCK") and block:
             block = min(int(os.environ["CORRTPU_BLOCK"]), block)
         out.append(
             (lvl, LevelStatic(th, tw, h, w, block, use_sep, parts, gram,
-                              slack, group))
+                              slack, group, sel, tsrc))
         )
     return tuple(out)
 

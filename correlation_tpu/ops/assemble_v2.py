@@ -168,10 +168,13 @@ def _make_kernel(
     p_pad: int,
     dma_w: int = 0,
     tile_parts: int = 3,
-    gram_mode: str = "slice",
+    gram_mode: str = "unit",
     row_slack: bool = False,
     th_fetch: int = 0,
     group: int = 1,
+    sel_mode: str = "batched",
+    tile_src: str = "dma",
+    ablate: str = "",
 ):
     """Build the Pallas kernel body for a block of `block` subsets.
 
@@ -272,10 +275,119 @@ def _make_kernel(
             _body(pixdata_ref, params_ref, org_ref, jnp.stack(tiles),
                   out_ref, sel_ref)
 
+        def kernel_vmem_roll(org_all_ref, pixdata_ref, params_ref, org_ref,
+                             img_ref, out_ref, sel_ref):
+            # Whole-level image RESIDENT in VMEM (fits for typical pyramid
+            # levels; engine checks the budget): per-unit tiles are direct
+            # aligned slices + a lane roll — the DMA issue/wait pair and
+            # the per-assembly HBM re-fetch of ~dma_w/tile_w x the needed
+            # bytes disappear entirely.  The analog of the reference's
+            # texture-cache-resident reads (correlationKernel.cu:601-619)
+            # with the whole level as the cache.
+            i = pl.program_id(0)
+            tiles = []
+            for b in range(block):
+                base = i * block
+                y0 = org_all_ref[2 * (base + b)]
+                x0 = org_all_ref[2 * (base + b) + 1]
+                y0a = pl.multiple_of(y0 & ~7, 8)
+                x0a = pl.multiple_of(x0 & ~127, 128)
+                dy = y0 - y0a
+                dx = x0 - x0a
+                chans = []
+                for c in range(channels):
+                    raw = img_ref[
+                        c, pl.ds(y0a, th_fetch), pl.ds(x0a, dma_w)
+                    ]
+                    rolled = pltpu.roll(raw, dma_w - dx, axis=1)
+                    if not row_slack:
+                        rolled = pltpu.roll(rolled, th_fetch - dy, axis=0)
+                    chans.append(rolled[:tile_h, :tile_w])
+                tiles.append(
+                    jnp.concatenate(chans, axis=1)
+                    if channels > 1 else chans[0]
+                )
+            _body(pixdata_ref, params_ref, org_ref, jnp.stack(tiles),
+                  out_ref, sel_ref)
+
+        def kernel_vmem(org_all_ref, pixdata_ref, params_ref, org_ref,
+                        img_ref, out_ref, sel_ref):
+            # VMEM-resident image + MXU realignment.  The per-unit serial
+            # chain collapses to ONE aligned slice per unit/channel: the
+            # x realignment (a dynamic lane roll everywhere else) is a
+            # multiplication by a shifted-identity one-hot — 0/1, exact in
+            # bf16 — batched over the whole block in a single dot_general;
+            # the y offset is absorbed by the row-selection one-hot
+            # (row_slack semantics: the body works on th_fetch rows from
+            # the 8-aligned origin).  No DMA, no rolls, no per-unit matmul
+            # issues.
+            i = pl.program_id(0)
+            raws = []
+            for b in range(block):
+                base = i * block
+                y0 = org_all_ref[2 * (base + b)]
+                x0 = org_all_ref[2 * (base + b) + 1]
+                y0a = pl.multiple_of(y0 & ~7, 8)
+                x0a = pl.multiple_of(x0 & ~127, 128)
+                for c in range(channels):
+                    raws.append(
+                        img_ref[c, pl.ds(y0a, th_fetch), pl.ds(x0a, dma_w)]
+                    )
+            raw = jnp.stack(raws)  # [B*C, th_fetch, dma_w]
+            if channels > 1:
+                raw = raw.reshape(block, channels, th_fetch, dma_w)
+
+            # Per-unit lane offset from the vector origins (org_ref holds
+            # the aligned y0a and the EXACT x0; dx = x0 mod 128).
+            dx = org_ref[:, 1] & 127  # [B] int32
+            src = jax.lax.broadcasted_iota(
+                jnp.int32, (block, dma_w, tile_w), 1
+            )
+            dst = jax.lax.broadcasted_iota(
+                jnp.int32, (block, dma_w, tile_w), 2
+            )
+            shift = (src == dst + dx[:, None, None]).astype(jnp.bfloat16)
+            exact_bf16 = tile_parts == 1
+
+            def realign(r):  # [B, th_fetch, dma_w] -> [B, th_fetch, tw]
+                lhs = r.astype(jnp.bfloat16) if exact_bf16 else r
+                return jax.lax.dot_general(
+                    lhs,
+                    shift if exact_bf16 else shift.astype(f32),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )
+
+            if channels > 1:
+                tiles = jnp.concatenate(
+                    [realign(raw[:, c]) for c in range(channels)], axis=2
+                )
+            else:
+                tiles = realign(raw)
+            _body(pixdata_ref, params_ref, org_ref, tiles,
+                  out_ref, sel_ref)
+
     def kernel(pixdata_ref, params_ref, org_ref, tiles_ref, out_ref, sel_ref):
         _body(pixdata_ref, params_ref, org_ref, tiles_ref[:], out_ref, sel_ref)
 
     def _body(pixdata_ref, params_ref, org_ref, tiles, out_ref, sel_ref):
+        # Ablation points (perf forensics only — experiments/ablate_v2.py):
+        # truncate the kernel after a stage, writing a dependency-carrying
+        # dummy so nothing gets DCE'd.
+        if ablate == "stub":
+            # Pipeline floor: input blocks still stream, body does nothing.
+            out_ref[:] = jnp.full(
+                (block * group, 8, 8),
+                pixdata_ref[0, 0, 0] + params_ref[0, 0], f32,
+            )
+            return
+        if ablate == "tiles_only":
+            out_ref[:] = jnp.full(
+                (block * group, 8, 8), jnp.sum(tiles), f32
+            )
+            return
+        if ablate == "zero_tiles":
+            tiles = jnp.zeros_like(tiles) + 1.0
         x = pixdata_ref[:, _ROW_X, :]  # [B, P]
         y = pixdata_ref[:, _ROW_Y, :]
         maskf = pixdata_ref[:, _ROW_MASK, :]
@@ -349,25 +461,54 @@ def _make_kernel(
         r_sub = jax.lax.broadcasted_iota(jnp.int32, (block, tile_h, p_pad), 1)
         onehot = (r_sub == ry[:, None, :]).astype(jnp.bfloat16)
 
-        for b in range(block):
+        # sel[b, j*W + c, p] = tile[b, ry[b, p] + j, c], exact to f32 (one
+        # part when integral; 8 bits of mantissa per extra part otherwise).
+        # Integral images: the selected values are integers 0..255, exact
+        # in bf16 — sel stores them at half the VMEM.
+        if sel_mode == "batched":
+            # One batched dot_general serves the whole block — Mosaic
+            # lowers the batch dim natively, replacing `block` separate
+            # matmul issues (plus their per-subset slice/concat chains).
             o3 = (
-                jnp.concatenate([onehot[b]] * tile_parts, axis=0)
+                jnp.concatenate([onehot] * tile_parts, axis=1)
                 if tile_parts > 1
-                else onehot[b]
-            )  # [parts*th, P]
-            # sel[j*W + c, p] = tile[ry[p] + j, c], exact to f32 (one part
-            # when integral; 8 bits of mantissa per extra part otherwise).
-            # Integral images: the selected values are integers 0..255,
-            # exact in bf16 — sel stores them at half the VMEM.
+                else onehot
+            )  # [B, parts*th, P]
             picked = jax.lax.dot_general(
-                parts[b],
+                parts,
                 o3,
-                dimension_numbers=(((0,), (0,)), ((), ())),
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
-            )  # [taps*W, P]
-            sel_ref[b] = (
+            )  # [B, taps*W, P]
+            sel_ref[:] = (
                 picked.astype(jnp.bfloat16) if tile_parts == 1 else picked
             )
+        else:  # "loop": one dot per subset
+            for b in range(block):
+                o3 = (
+                    jnp.concatenate([onehot[b]] * tile_parts, axis=0)
+                    if tile_parts > 1
+                    else onehot[b]
+                )  # [parts*th, P]
+                picked = jax.lax.dot_general(
+                    parts[b],
+                    o3,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # [taps*W, P]
+                sel_ref[b] = (
+                    picked.astype(jnp.bfloat16)
+                    if tile_parts == 1
+                    else picked
+                )
+
+        if ablate == "to_sel":
+            out_ref[:] = jnp.full(
+                (block * group, 8, 8),
+                jnp.sum(sel_ref[0, :8, :128].astype(f32)),
+                f32,
+            )
+            return
 
         # ---- tap-row combination (batched, lanes = pixels) ----------------
         sel = sel_ref[:].astype(f32)  # [B, taps*W, P]
@@ -394,6 +535,7 @@ def _make_kernel(
         bad = maskf * (1.0 - ok)
         zero = jnp.zeros_like(bad)
         gs = []
+        samp_acc = jnp.float32(0.0)
         for c in range(channels):
             tc = tmp[:, c * tile_w : (c + 1) * tile_w, :]
             tdc = tmp_d[:, c * tile_w : (c + 1) * tile_w, :]
@@ -402,6 +544,11 @@ def _make_kernel(
             dwdy = jnp.sum(w_col * tdc, axis=1) * live
             und = pixdata_ref[:, _ROW_UND + c, :]
             v = (und - w_v) * live
+            if ablate == "to_sample":
+                samp_acc = samp_acc + jnp.sum(
+                    v[0, :128] + dwdx[0, :128] + dwdy[0, :128]
+                )
+                continue
             h = _h_rows(model, dwdx, dwdy, dxc, dyc)
             rows = h + [v, bad if c == 0 else zero]
             rows = rows + [zero] * (8 - len(rows))
@@ -413,10 +560,61 @@ def _make_kernel(
                 # each subset over exactly its own pixels.
                 grows = [r * gmasks[g] for g in range(group) for r in rows]
                 gs.append(jnp.stack(grows, axis=1))
+        if ablate == "to_sample":
+            out_ref[:] = jnp.full((block * group, 8, 8), samp_acc, f32)
+            return
         g = jnp.concatenate(gs, axis=2) if channels > 1 else gs[0]
 
+        if ablate == "to_interp":
+            out_ref[:] = jnp.full(
+                (block * group, 8, 8), jnp.sum(g[0, :, :128]), f32
+            )
+            return
+
         n_out = block * group
-        if gram_mode == "subset":
+        if gram_mode == "unit":
+            # Per-UNIT Gram via one batched dot_general: [B, G8, P] x
+            # [B, G8, P] -> [B, G8, G8].  The block-batched "slice" mode
+            # computes an [8N, 8N] product whose off-diagonal subset-pair
+            # blocks are discarded — N = block*group times the needed
+            # FLOPs; batching over the unit axis cuts the waste to
+            # `group` (the off-diagonal blocks WITHIN a unit), at one op
+            # issue for the whole block.
+            gg = jax.lax.dot_general(
+                g,
+                g,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            )  # [B, G8, G8]
+            if group == 1:
+                out_ref[:] = gg
+            else:
+                # Extract each group's diagonal [8, 8] block with a
+                # masked FOLD matmul (0/1 rhs, exact): folded[b, 8k+i, j]
+                # = gg[b, 8k+i, 8k+j].
+                g8 = group * 8
+                r_id = jax.lax.broadcasted_iota(
+                    jnp.int32, (block, g8, g8), 1
+                )
+                c_id = jax.lax.broadcasted_iota(
+                    jnp.int32, (block, g8, g8), 2
+                )
+                diag = ((r_id >> 3) == (c_id >> 3)).astype(f32)
+                fold_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (block, g8, 8), 1
+                )
+                fold_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (block, g8, 8), 2
+                )
+                fold = ((fold_r & 7) == fold_c).astype(f32)
+                folded = jax.lax.dot_general(
+                    gg * diag,
+                    fold,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                )  # [B, G8, 8]
+                out_ref[:] = folded.reshape(n_out, 8, 8)
+        elif gram_mode == "subset":
             # One [G*8, P] x [P, G*8] dot per unit.
             for b in range(block):
                 gg = jax.lax.dot_general(
@@ -446,8 +644,14 @@ def _make_kernel(
                 for b in range(n_out):
                     out_ref[b] = big[8 * b : 8 * b + 8, 8 * b : 8 * b + 8]
             else:  # "mask": extract every diagonal block without per-subset
-                # lane shuffles — zero the off-diagonal blocks and fold the
-                # lane axis: sum_c masked[8b+i, 8c+j] = big[8b+i, 8b+j].
+                # lane shuffles — zero the off-diagonal blocks, then FOLD
+                # the lane axis with a second (0/1, bf16-exact) matmul:
+                # folded[8b+i, j] = sum_c masked[8b+i, 8c+j]
+                #                 = big[8b+i, 8b+j].
+                # (A lane-splitting reshape + sum fails Mosaic layout
+                # inference; the matmul form lowers cleanly and replaces
+                # n_out per-subset [8, 8] lane-offset slices with two
+                # whole-block ops.)
                 r_id = jax.lax.broadcasted_iota(
                     jnp.int32, (n_out * 8, n_out * 8), 0
                 )
@@ -455,12 +659,28 @@ def _make_kernel(
                     jnp.int32, (n_out * 8, n_out * 8), 1
                 )
                 diag = ((r_id >> 3) == (c_id >> 3)).astype(f32)
-                folded = jnp.sum(
-                    (big * diag).reshape(n_out * 8, n_out, 8), axis=1
+                fold_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_out * 8, 8), 0
+                )
+                fold_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_out * 8, 8), 1
+                )
+                fold = ((fold_r & 7) == fold_c).astype(f32)
+                folded = jax.lax.dot_general(
+                    big * diag,
+                    fold,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
                 )  # [8N, 8]
                 out_ref[:] = folded.reshape(n_out, 8, 8)
 
-    return (kernel_dma if dma_w else kernel), taps, w_all
+    if dma_w:
+        if tile_src == "vmem":
+            return kernel_vmem, taps, w_all
+        if tile_src == "vmem_roll":
+            return kernel_vmem_roll, taps, w_all
+        return kernel_dma, taps, w_all
+    return kernel, taps, w_all
 
 
 def extract_tiles(img: jax.Array, origins: jax.Array, tile_h: int,
@@ -600,10 +820,24 @@ def dma_width(tile_w: int) -> int:
     return -(-(tile_w + 127) // 128) * 128
 
 
+# Max padded-image bytes kept VMEM-resident by tile_src="auto"
+# (choose_block subtracts this from its working-set budget).
+IMG_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def prepared_img_bytes(img_h: int, img_w: int, channels: int,
+                       tile_w: int) -> int:
+    """VMEM bytes of prepare_image's padded channel-major output."""
+    hp = -(-img_h // 8) * 8 + 8
+    wp = -(-img_w // 128) * 128 + dma_width(tile_w)
+    return channels * hp * wp * 4
+
+
 def choose_block(
     tile_h: int, tile_w: int, p_pad: int, channels: int,
     vmem_budget: int = 13 * 1024 * 1024,
     tile_parts: int = 3,
+    img_bytes: int = 0,
 ) -> int:
     """Kernel units per grid step, sized so the kernel's VMEM working set
     (sel scratch + shifted tile copies + double-buffered DMA tiles +
@@ -612,7 +846,10 @@ def choose_block(
     that level instead of risking a Mosaic VMEM OOM.
 
     With tile_parts == 1 the selected values are integers 0..255, exact in
-    bfloat16, so the dominant sel scratch halves."""
+    bfloat16, so the dominant sel scratch halves.
+
+    img_bytes: VMEM claimed by the resident level image (tile_src="vmem"
+    path — replaces the double-buffered DMA tile scratch)."""
     taps = 4
     w_all = channels * tile_w
     th_eff = tile_h + 8  # DMA sublane-alignment slack
@@ -621,10 +858,13 @@ def choose_block(
         sel_bytes * taps * w_all * p_pad  # sel scratch
         + 4 * taps * w_all * th_eff * 2  # wide + bf16 parts (approx)
         + 4 * 3 * th_eff * p_pad  # onehot + iota temps
-        + 4 * 2 * channels * th_eff * dma_width(tile_w)  # dbl-buffered DMA
         + 4 * 2 * 8 * p_pad  # double-buffered pixdata
     )
-    fit = vmem_budget // max(per_subset, 1)
+    if not img_bytes:
+        per_subset += (  # dbl-buffered DMA tile scratch
+            4 * 2 * channels * th_eff * dma_width(tile_w)
+        )
+    fit = (vmem_budget - img_bytes) // max(per_subset, 1)
     if fit < 4:
         return 0
     if fit < 8:
@@ -650,7 +890,9 @@ def prepare_image(img: jax.Array, tile_w: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15, 16, 17, 18),
+    static_argnums=(
+        0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    ),
 )
 def fused_assemble(
     model: FittingModel,
@@ -669,9 +911,12 @@ def fused_assemble(
     in_kernel_dma: bool = True,
     img_prepared: bool = False,
     tile_parts: int = 3,
-    gram_mode: str = "slice",
+    gram_mode: str = "unit",
     row_slack: bool = False,
     group: int = 1,
+    sel_mode: str = "batched",
+    tile_src: str = "auto",
+    ablate: str = "",
 ) -> FusedAssembly:
     """Run the fused v2 assembly over all subsets.
 
@@ -699,11 +944,13 @@ def fused_assemble(
         (default, exact for any image), 2 = 16 mantissa bits (~1e-5
         relative), 1 = EXACT for integer-valued 0..255 images (uint8
         pyramids) and the fastest — the contraction depth scales with it.
-      gram_mode: normal-equation reduction: "slice" = one block-batched
-        [8B, P] x [P, 8B] matmul with per-subset diagonal-block slices
-        (default), "subset" = one [8, P] dot per subset, "mask" =
-        batched matmul with mask+fold extraction (currently fails Mosaic
-        layout inference on the lane-splitting reshape).
+      gram_mode: normal-equation reduction: "unit" = one batched
+        dot_general over the unit axis (default — block*group fewer
+        wasted FLOPs than "slice" with one op issue), "slice" = one
+        block-batched [8N, P] x [P, 8N] matmul with per-subset
+        diagonal-block slices, "subset" = one [G8, P] dot per unit,
+        "mask" = the [8N, 8N] matmul with mask + 0/1-fold-matmul
+        extraction.
       row_slack: DMA path only — keep the <=7 sublane-alignment slack rows
         in the tile (skips the per-subset row roll; the selection contracts
         over tile_h + 8 rows instead).
@@ -713,6 +960,15 @@ def fused_assemble(
         P_pad fills only a fraction of the 512-lane vector width pack
         G = 512 // P_pad to a unit, dividing the kernel's per-unit serial
         work (DMA + rolls + selection matmul issue) across G subsets.
+      sel_mode: row-selection matmul issue: "batched" = one batched
+        dot_general for the whole block (default), "loop" = one dot per
+        unit (the pre-round-4 form, kept for A/B).
+      tile_src: where per-unit tiles come from on the in_kernel_dma path:
+        "vmem" = the whole padded level image sits VMEM-resident and
+        tiles are direct slices (no DMA, no per-assembly HBM re-fetch),
+        "dma" = double-buffered per-unit async copies (images too big
+        for VMEM), "auto" = vmem when the padded image fits
+        IMG_VMEM_BUDGET.
 
     Returns:
       FusedAssembly(A, b, chi, err) matching assemble_normal_equations.
@@ -727,14 +983,26 @@ def fused_assemble(
     channels = int(img.shape[0] if img_prepared else img.shape[-1])
     if interpret:
         in_kernel_dma = False
+    if tile_src == "auto":
+        tile_src = (
+            "vmem"
+            if prepared_img_bytes(img_h, img_w, channels, tile_w)
+            <= IMG_VMEM_BUDGET
+            else "dma"
+        )
 
     h_pad8 = -(-img_h // 8) * 8
     w_pad128 = -(-img_w // 128) * 128
     if in_kernel_dma:
         # The DMA fetches tile_h + 8 rows (source offset aligns DOWN to a
         # multiple of 8); with row_slack=False the in-kernel sublane roll
-        # strips the slack so the body sees exactly tile_h rows.
+        # strips the slack so the body sees exactly tile_h rows.  The
+        # "vmem" (MXU-realign) source always works on the full fetch with
+        # the 8-aligned y origin — the row-selection one-hot absorbs the
+        # <=7 slack rows, so no row realignment ever happens.
         th_fetch = tile_h + 8
+        if tile_src == "vmem":
+            row_slack = True
         th_body = th_fetch if row_slack else tile_h
         dma_w = dma_width(tile_w)
         if not img_prepared:
@@ -745,7 +1013,7 @@ def fused_assemble(
         )
         if row_slack:
             # Tile rows start at the 8-aligned y; x is exact after the
-            # lane roll.
+            # lane realignment.
             org_body = jnp.stack(
                 [origins[:, 0] & ~7, origins[:, 1]], axis=-1
             )
@@ -795,6 +1063,9 @@ def fused_assemble(
         row_slack=row_slack,
         th_fetch=th_fetch if in_kernel_dma else 0,
         group=group,
+        sel_mode=sel_mode,
+        tile_src=tile_src,
+        ablate=ablate,
     )
     flops = u_pad * (
         2 * (taps * w_all) * tile_parts * th_body * p_pad
@@ -830,21 +1101,32 @@ def fused_assemble(
             pl.BlockSpec((block, 2), lambda i, o: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # full origins array, read ahead for
-            grid=(u_pad // block,),  # the next block's DMA issue
-            in_specs=common_sp + [pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(
-                (block * group, 8, 8), lambda i, o: (i, 0, 0),
+        if tile_src in ("vmem", "vmem_roll"):
+            img_spec = pl.BlockSpec(
+                img.shape, lambda i, o: (0, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-            scratch_shapes=[
+            )
+            scratch = [
+                pltpu.VMEM((block, taps * w_all, p_pad), sel_dtype),
+            ]
+        else:
+            img_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch = [
                 pltpu.VMEM((block, taps * w_all, p_pad), sel_dtype),
                 pltpu.VMEM(
                     (2, block * channels, th_fetch, dma_w), jnp.float32
                 ),
                 pltpu.SemaphoreType.DMA((2, block * channels)),
-            ],
+            ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # full origins array, read ahead for
+            grid=(u_pad // block,),  # the next block's DMA issue
+            in_specs=common_sp + [img_spec],
+            out_specs=pl.BlockSpec(
+                (block * group, 8, 8), lambda i, o: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
         )
         out = pl.pallas_call(
             kernel,

@@ -46,6 +46,11 @@ class SequenceConfig:
     deformation: DeformationDescription = DeformationDescription.EULERIAN
     reference: ReferenceImage = ReferenceImage.FIRST
     error_mode: ErrorMode = ErrorMode.CONTINUE
+    # Fixed-geometry (Eulerian) sequences chain this many frame solves
+    # inside ONE device dispatch (engine.correlate_frames), amortizing the
+    # per-call dispatch latency the way the reference overlaps its frame
+    # loop with prefetch (manager_class.cpp:1381-1475).  1 = per-frame.
+    frame_chunk: int = 8
 
 
 @dataclasses.dataclass
@@ -70,6 +75,15 @@ class FrameRecord:
     def_global_angle: float
     und_contours: list | None = None  # per-sector [Nc, 2]
     def_contours: list | None = None  # per-sector [Nc, 2]
+    # Per-sector strain state carried by the reference's frame_results
+    # (domains.hpp:59-108).  update_results zeroes def_e for every fitting
+    # model (manager_class.cpp:2360-2395) and the Lagrangian updates copy
+    # def->und (manager_class.cpp:2198-2217), so these are structurally
+    # faithful passthroughs of the reference's (always-zero) values.
+    und_e: np.ndarray | None = None  # [S]
+    def_e: np.ndarray | None = None  # [S]
+    und_global_e: float = 0.0
+    def_global_e: float = 0.0
 
 
 @dataclasses.dataclass
@@ -93,6 +107,18 @@ class _TrackState:
     und_contours: list | None = None  # per-sector [Nc, 2] float
     def_contours: list | None = None
     pad_to: list | None = None  # per-level padded point counts
+    # Last emitted chi/iterations — STOP_FRAME frozen sectors re-emit
+    # these (manager_class.cpp:535-546 skipped sectors keep previous
+    # values).
+    chi: np.ndarray | None = None  # [S]
+    iterations: np.ndarray | None = None  # [S]
+    # Reference strain state (frame_results und_e/def_e/*_global_e,
+    # domains.hpp:59-108) — zeroed per model by update_results, copied
+    # through by the Lagrangian domain updates.
+    und_e: np.ndarray | None = None  # [S]
+    def_e: np.ndarray | None = None  # [S]
+    und_global_e: float = 0.0
+    def_global_e: float = 0.0
 
 
 def initial_track_state(
@@ -146,6 +172,10 @@ def initial_track_state(
             if contours is not None
             else None
         ),
+        chi=np.zeros(s, np.float32),
+        iterations=np.zeros(s, np.int32),
+        und_e=np.zeros(s, np.float32),
+        def_e=np.zeros(s, np.float32),
     )
 
 
@@ -197,6 +227,9 @@ def advance_domain(
     # Lagrangian family: the domain follows the material.
     state.und_global_center = state.def_global_center.copy()
     state.und_global_angle = state.def_global_angle
+    # Strain copy-through (manager_class.cpp:2198-2217).
+    state.und_e = state.def_e.copy()
+    state.und_global_e = state.def_global_e
     state.past_und_center = state.und_center.copy()
     new_center = state.def_center.copy()
     if deform == DeformationDescription.LAGRANGIAN:
@@ -266,9 +299,13 @@ def update_results(
         state.def_contours = _warp_ragged(
             model, params, state.und_contours, gc
         )
+    # def_e is zeroed for every fitting model (manager_class.cpp:2360-2395)
+    # and the global e is its point-weighted average (:2710-2746).
+    state.def_e = np.zeros(params.shape[0], np.float32)
     n = n_points.astype(np.float64)
     total = max(n.sum(), 1.0)
     state.def_global_angle = float((state.def_angle * n).sum() / total)
+    state.def_global_e = float((state.def_e * n).sum() / total)
     state.def_global_center = (
         (state.def_center * n[:, None]).sum(axis=0) / total
     ).astype(np.float32)
@@ -354,6 +391,15 @@ def run_sequence(
             point_lists, centers, global_center, global_guess, model,
             contours=contours,
         )
+    s_count = len(state.und_points)
+    if state.chi is None:
+        state.chi = np.zeros(s_count, np.float32)
+    if state.iterations is None:
+        state.iterations = np.zeros(s_count, np.int32)
+    if state.und_e is None:
+        state.und_e = np.zeros(s_count, np.float32)
+    if state.def_e is None:
+        state.def_e = np.zeros(s_count, np.float32)
 
     stop = solver.pyramid.stop
     pyramids: dict[int, list] = {}
@@ -377,25 +423,13 @@ def run_sequence(
             save_checkpoint(checkpoint_path, next_frame, state, records)
 
     total_pairs = n_frames - 1
-    for frame in range(start_frame, total_pairs):
-        if should_stop is not None and should_stop():
-            save_ckpt(frame)
-            break
-        und_idx = 0 if cfg.reference == ReferenceImage.FIRST else frame
-        def_idx = frame + 1
 
-        if frame > 0:
-            advance_domain(state, cfg, model)
-            advance_guess(state, cfg)
-
+    def make_batch_if_needed(points_moved: bool):
+        nonlocal batch_dev
         # Stable padded shapes across frames: the compiled solve is reused
         # as long as the (grown-once) pad targets hold.  The device-resident
         # batch is cached while the domain is stationary (Eulerian), so the
         # per-frame host->device traffic is just the new image + guesses.
-        points_moved = (
-            frame > start_frame
-            and cfg.deformation != DeformationDescription.EULERIAN
-        )
         if batch_dev is None or points_moved:
             batch = make_batch(
                 state.und_points,
@@ -405,47 +439,21 @@ def run_sequence(
             )
             state.pad_to = [a.shape[1] for a in batch.xy]
             batch_dev = batch.to_device() if mesh is None else batch
-        batch = batch_dev
-        if meter is not None:
-            ctx = meter.measure(batch.num_subsets)
-        else:
-            import contextlib
+        return batch_dev
 
-            ctx = contextlib.nullcontext()
-        with ctx:
-            result = correlate(
-                solver,
-                pyramid_of(und_idx),
-                pyramid_of(def_idx),
-                batch,
-                state.guess,
-                mesh=mesh,
-            )
-            result = type(result)(*[r.block_until_ready() for r in result])
-        params = np.asarray(result.params)
-        und_center = np.asarray(result.center)
-        n_points = np.asarray(result.n_points)
-        errors = np.asarray(result.error)
-
-        if cfg.error_mode == ErrorMode.STOP_FRAME:
-            # Batched stop-frame (manager_class.cpp:535-546, 793-805): in
-            # the reference an error aborts the remaining sectors of the
-            # CURRENT frame (their chained state keeps its previous values)
-            # while the frame loop continues.  Batched, that means an
-            # errored sector's chained state does not advance this frame —
-            # it is re-attempted next frame from its last good state.
-            bad = errors != int(ErrorCode.NONE)
-            params = np.where(bad[:, None], state.params, params)
-
+    def emit(frame, params, guess, chi, iterations, errors,
+             und_center, n_points):
+        """Per-frame record bookkeeping shared by both drive modes."""
         update_results(state, model, params, und_center, n_points)
-
+        state.chi = chi.copy()
+        state.iterations = iterations.copy()
         records.append(
             FrameRecord(
                 frame=frame,
                 params=params,
-                initial_guess=state.guess.copy(),
-                chi=np.asarray(result.chi),
-                iterations=np.asarray(result.iterations),
+                initial_guess=guess.copy(),
+                chi=chi,
+                iterations=iterations,
                 error=errors,
                 n_points=n_points,
                 und_center=und_center,
@@ -466,11 +474,185 @@ def run_sequence(
                     if state.def_contours is not None
                     else None
                 ),
+                und_e=state.und_e.copy(),
+                def_e=state.def_e.copy(),
+                und_global_e=state.und_global_e,
+                def_global_e=state.def_global_e,
             )
         )
-
         if on_frame is not None:
             on_frame(records[-1])
+
+    import contextlib
+
+    chunked = (
+        cfg.deformation == DeformationDescription.EULERIAN
+        and mesh is None
+        and cfg.frame_chunk > 1
+        and total_pairs - start_frame > 1
+    )
+    if chunked:
+        # Fixed-geometry fast path: K frame solves per device dispatch
+        # (engine.correlate_frames), pyramids built in-jit.  Identical
+        # record semantics to the per-frame path (tested).
+        from correlation_tpu.engine import (
+            compute_level_statics,
+            correlate_frames,
+            resolve_backend,
+        )
+
+        batch = make_batch_if_needed(False)
+        ref_first = cfg.reference == ReferenceImage.FIRST
+        stop_frame = cfg.error_mode == ErrorMode.STOP_FRAME
+        frame0_img = np.asarray(frames[0], np.float32)
+        backend = resolve_backend(solver, int(frame0_img.shape[-1]))
+        if backend != "xla":
+            statics = compute_level_statics(
+                solver, batch, build_pyramid(jnp.asarray(frame0_img), stop),
+                backend,
+            )
+        else:
+            statics = None
+        und0 = frame0_img if ref_first else None
+
+        frame = start_frame
+        while frame < total_pairs:
+            if should_stop is not None and should_stop():
+                save_ckpt(frame)
+                break
+            k = min(cfg.frame_chunk, total_pairs - frame)
+            base = (
+                und0 if ref_first
+                else np.asarray(frames[frame], np.float32)
+            )
+            stack = np.stack(
+                [base]
+                + [
+                    np.asarray(frames[frame + j + 1], np.float32)
+                    for j in range(k)
+                ]
+            )
+            ctx = (
+                meter.measure(k * batch.num_subsets)
+                if meter is not None
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                out = correlate_frames(
+                    solver,
+                    stack,
+                    batch,
+                    guess0=state.guess,
+                    reference_first=ref_first,
+                    stop_frame=stop_frame,
+                    first_chunk=(frame == 0),
+                    p_seed=state.params,
+                    prev_seed=state.prev_params,
+                    chi_seed=state.chi,
+                    it_seed=state.iterations,
+                    statics=statics,
+                )
+                params_k = np.asarray(out["params"])
+                guess_k = np.asarray(out["guess"])
+                chi_k = np.asarray(out["chi"])
+                it_k = np.asarray(out["iterations"])
+                err_k = np.asarray(out["error"])
+            und_center = np.asarray(out["center0"])
+            n_points = np.asarray(out["n_points0"])
+            stop_now = False
+            cancelled = False
+            emitted = 0
+            for j in range(k):
+                # Per-frame cooperative-cancel granularity (the chunk-start
+                # poll covers j == 0): un-emitted frames of a cancelled
+                # chunk are discarded, matching the per-frame driver.
+                if (
+                    j > 0
+                    and should_stop is not None
+                    and should_stop()
+                ):
+                    cancelled = True
+                    break
+                if not (frame + j == 0):
+                    state.prev_params = state.params.copy()
+                emit(
+                    frame + j, params_k[j], guess_k[j], chi_k[j],
+                    it_k[j], err_k[j], und_center, n_points,
+                )
+                emitted += 1
+                any_error = bool(
+                    (err_k[j] != int(ErrorCode.NONE)).any()
+                )
+                if any_error and cfg.error_mode == ErrorMode.STOP_ALL:
+                    stop_now = True
+                    break
+            next_frame = frame + emitted
+            if stop_now or cancelled or next_frame >= total_pairs or (
+                checkpoint_path is not None
+                and any(
+                    (frame + j + 1) % max(checkpoint_every, 1) == 0
+                    for j in range(emitted)
+                )
+            ):
+                save_ckpt(next_frame)
+            if stop_now or cancelled:
+                break
+            frame = next_frame
+        return records
+
+    for frame in range(start_frame, total_pairs):
+        if should_stop is not None and should_stop():
+            save_ckpt(frame)
+            break
+        und_idx = 0 if cfg.reference == ReferenceImage.FIRST else frame
+        def_idx = frame + 1
+
+        if frame > 0:
+            advance_domain(state, cfg, model)
+            advance_guess(state, cfg)
+
+        points_moved = (
+            frame > start_frame
+            and cfg.deformation != DeformationDescription.EULERIAN
+        )
+        batch = make_batch_if_needed(points_moved)
+        if meter is not None:
+            ctx = meter.measure(batch.num_subsets)
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            result = correlate(
+                solver,
+                pyramid_of(und_idx),
+                pyramid_of(def_idx),
+                batch,
+                state.guess,
+                mesh=mesh,
+            )
+            result = type(result)(*[r.block_until_ready() for r in result])
+        params = np.asarray(result.params)
+        und_center = np.asarray(result.center)
+        n_points = np.asarray(result.n_points)
+        errors = np.asarray(result.error)
+        chi = np.asarray(result.chi)
+        iterations = np.asarray(result.iterations)
+
+        if cfg.error_mode == ErrorMode.STOP_FRAME:
+            # Batched stop-frame (manager_class.cpp:535-546, 793-805): in
+            # the reference an error aborts the remaining sectors of the
+            # CURRENT frame (their chained state keeps its previous values)
+            # while the frame loop continues.  Batched, that means an
+            # errored sector's chained state does not advance this frame —
+            # it is re-attempted next frame from its last good state, and
+            # its record keeps the previous chi/iterations (plus the error
+            # code), matching the reference's skipped sectors.
+            bad = errors != int(ErrorCode.NONE)
+            params = np.where(bad[:, None], state.params, params)
+            chi = np.where(bad, state.chi, chi)
+            iterations = np.where(bad, state.iterations, iterations)
+
+        emit(frame, params, state.guess, chi, iterations, errors,
+             und_center, n_points)
 
         any_error = bool((errors != int(ErrorCode.NONE)).any())
         stop_now = any_error and cfg.error_mode == ErrorMode.STOP_ALL

@@ -35,6 +35,8 @@ def save_checkpoint(
         "und_global_angle": state.und_global_angle,
         "def_global_angle": state.def_global_angle,
         "explicit_centers": state.explicit_centers,
+        "und_global_e": state.und_global_e,
+        "def_global_e": state.def_global_e,
     }
     for i, pts in enumerate(state.und_points):
         payload[f"und_points_{i}"] = pts
@@ -55,8 +57,14 @@ def save_checkpoint(
         "def_center",
         "def_angle",
         "def_global_center",
+        "chi",
+        "iterations",
+        "und_e",
+        "def_e",
     ):
-        payload[f"state_{field}"] = np.asarray(getattr(state, field))
+        v = getattr(state, field)
+        if v is not None:
+            payload[f"state_{field}"] = np.asarray(v)
     for r, rec in enumerate(records):
         for f in dataclasses.fields(FrameRecord):
             v = getattr(rec, f.name)
@@ -64,6 +72,8 @@ def save_checkpoint(
                 if v is not None:
                     for ci, c in enumerate(v):
                         payload[f"rec{r}_{f.name}_{ci}"] = np.asarray(c)
+                continue
+            if v is None:
                 continue
             payload[f"rec{r}_{f.name}"] = np.asarray(v)
     payload["meta"] = np.frombuffer(
@@ -79,6 +89,16 @@ def load_checkpoint(path: str):
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())
     assert meta["version"] == _FORMAT_VERSION
+    s = meta["num_sectors"]
+
+    def arr(key, default_dtype=np.float32):
+        # Fields added after format introduction default to zeros for
+        # checkpoints written before them.
+        return (
+            data[key] if key in data
+            else np.zeros(s, default_dtype)
+        )
+
     state = _TrackState(
         und_points=[
             data[f"und_points_{i}"] for i in range(meta["num_sectors"])
@@ -106,6 +126,12 @@ def load_checkpoint(path: str):
             if "def_contour_0" in data
             else None
         ),
+        chi=arr("state_chi"),
+        iterations=arr("state_iterations", np.int32),
+        und_e=arr("state_und_e"),
+        def_e=arr("state_def_e"),
+        und_global_e=float(meta.get("und_global_e", 0.0)),
+        def_global_e=float(meta.get("def_global_e", 0.0)),
     )
     records = []
     num_sectors = meta["num_sectors"]
@@ -119,10 +145,16 @@ def load_checkpoint(path: str):
                 else:
                     kwargs[f.name] = None
                 continue
-            v = data[f"rec{r}_{f.name}"]
+            key = f"rec{r}_{f.name}"
+            if key not in data:
+                continue  # field added later; dataclass default applies
+            v = data[key]
             if f.name == "frame":
                 v = int(v)
-            elif f.name in ("und_global_angle", "def_global_angle"):
+            elif f.name in (
+                "und_global_angle", "def_global_angle",
+                "und_global_e", "def_global_e",
+            ):
                 v = float(v)
             kwargs[f.name] = v
         records.append(FrameRecord(**kwargs))

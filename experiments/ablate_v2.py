@@ -1,784 +1,108 @@
-"""Fused Pallas assembly v2 — MXU one-hot row selection, lane-major pixels.
+"""Stage-cost ablation of the LIVE fused kernel (no fork).
 
-The TPU-native replacement for the reference's fused CUDA kernel
-`kCorrelation` (correlationKernel.cu:122-268) and its tree reduction
-(kernels.cu:56-103).  One grid step processes a block of B subsets:
+Runs chained assemblies per pyramid level of the bench problem with the
+kernel truncated at successive stages (fused_assemble's `ablate` hook) and
+prints the marginal cost of each stage.  Replaces the old standalone
+kernel fork — this drives ops/assemble_v2.py directly, so it cannot rot.
 
-  1. Each subset's deformed-image tile (pre-extracted by XLA with one
-     dynamic_slice from the warped bounding box, TRANSPOSED so image rows
-     are the lane axis) sits in VMEM.
-  2. Warp the subset pixels (VPU) — forward-additive, per fitting model
-     (model_class.cpp:48-202).
-  3. **Row selection as an exact bf16 MXU matmul.**  The separable form of
-     the reference's finite-difference-constrained bicubic (== Catmull-Rom
-     cubic convolution; verified in tests) needs, per pixel, the `taps`
-     tile rows around its warped y.  Key trick: build a one-hot matrix
-     O[r, p] = (r == row(p)); its entries (0/1) are EXACT in bfloat16, so
-     `sel = wide @ O` is a pure row-gather executed on the MXU at full
-     bf16 rate with zero arithmetic error in the selection itself.  The
-     f32 tile is split hi/mid/lo into three bf16 parts (x = b1 + b2 + b3
-     reconstructs all f32 mantissa bits) and the three products fuse into
-     ONE matmul by stacking the parts along the contraction axis:
-     [hi|mid|lo] @ [O; O; O].  The tile is pre-shifted into `taps`
-     row-offset copies so one matmul yields the whole y-neighborhood.
-  4. Every per-pixel stage runs with the PIXEL axis on the VPU lane axis
-     and the B subsets (x tap rows) stacked on sublanes — a handful of
-     large [B, taps*tw, P] ops instead of thousands of [P, 1] ops (TPU
-     vector ops are issue-bound at small shapes; this layout is what makes
-     the kernel fast): cubic tap weights (Horner), the tap-row
-     combination, a scattered column-weight build, and three
-     multiply-reduce contractions for w, dw/dx, dw/dy.
-  5. G^T = [H | V | bad] rows per color; the normal equations reduce with
-     one [8, 8] Gram matmul per subset — A, b, chi = slices of G^T G — the
-     analog of the CUDA shared-memory block reduction.
+Stages: tiles_only (tile slice/roll/stack), to_sel (+warp/onehot/selection
+matmul), to_sample (+tap combination, column weights, sample
+contractions), to_interp (+H rows / G stack), "" = full (+Gram +
+extraction).
 
-No HBM materialization of per-pixel weight rows (the XLA backend's
-bottleneck): everything between the streamed inputs and the [8, 8] output
-lives in VMEM.
-
-Out-of-image validity windows follow the reference exactly
-(interpolation_class.cpp:82-83,143-144,200-201); a pixel whose stencil
-leaves its tile is flagged the same way (tiles are sized with warp margin
-so that only happens for warps about to leave the image).
+Usage: python experiments/ablate_v2.py [N_chain] [reps]
 """
 
-from __future__ import annotations
+import os
+import sys
+import time
 
-import functools
-from typing import NamedTuple
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from correlation_tpu.config import FittingModel, Interpolation
-
-import os
-ABLATE = set(os.environ.get("V2_ABLATE", "").split(","))
-
-# pixdata row layout ([S, 8, P_pad] f32 — pixels on the LANE axis)
-_ROW_X = 0
-_ROW_Y = 1
-_ROW_MASK = 2
-_ROW_DXC = 3  # x - center_x
-_ROW_DYC = 4  # y - center_y
-_ROW_UND = 5  # und intensities, rows 5..5+C (C <= 3)
-
-
-class FusedAssembly(NamedTuple):
-    a_mat: jax.Array  # [S, NP, NP]
-    b_vec: jax.Array  # [S, NP]
-    chi: jax.Array  # [S]
-    err: jax.Array  # [S] bool
-
-
-def _cubic_taps(t):
-    """Catmull-Rom value and derivative taps at offsets -1..2 (Horner).
-
-    Equals the reference's finite-difference-constrained bicubic
-    (interpolation_class.cpp:296-321,539-558) in separable form.
-    """
-    k = (
-        ((-0.5 * t + 1.0) * t - 0.5) * t,
-        (1.5 * t - 2.5) * t * t + 1.0,
-        ((-1.5 * t + 2.0) * t + 0.5) * t,
-        (0.5 * t - 0.5) * t * t,
-    )
-    dk = (
-        (-1.5 * t + 2.0) * t - 0.5,
-        (4.5 * t - 5.0) * t,
-        (-4.5 * t + 4.0) * t + 0.5,
-        (1.5 * t - 1.0) * t,
-    )
-    return k, dk
-
-
-def _interp_taps(interp: Interpolation, tx, ty, xd, yd, img_h, img_w):
-    """Tap weights + validity window per interpolation model.
-
-    Windows replicate interpolation_class.cpp:82-83 (bicubic), :143-144
-    (bilinear), :200-201 (nearest).  Tap tuples are [B, P]-shaped.
-    """
-    if interp == Interpolation.BICUBIC:
-        valid = (xd > 1.0) & (yd > 1.0) & (xd < img_w - 2.0) & (yd < img_h - 2.0)
-        kx, dkx = _cubic_taps(tx)
-        ky, dky = _cubic_taps(ty)
-        return 4, 1, valid, kx, dkx, ky, dky
-    one_x = jnp.ones_like(tx)
-    one_y = jnp.ones_like(ty)
-    valid = (xd > 0.0) & (yd > 0.0) & (xd < img_w - 1.0) & (yd < img_h - 1.0)
-    if interp == Interpolation.BILINEAR:
-        kx = (1.0 - tx, tx)
-        ky = (1.0 - ty, ty)
-    else:  # NEAREST: value at rounded pixel, forward-difference gradients
-        kx = (one_x, jnp.zeros_like(tx))
-        ky = (one_y, jnp.zeros_like(ty))
-    dkx = (-one_x, one_x)
-    dky = (-one_y, one_y)
-    return 2, 0, valid, kx, dkx, ky, dky
-
-
-def _warp(model: FittingModel, p, x, y, dxc, dyc):
-    """Forward-additive warp (model_class.cpp:48-202); p[k] broadcasts."""
-    if model == FittingModel.U:
-        return x + p[0], y
-    if model == FittingModel.UV:
-        return x + p[0], y + p[1]
-    if model == FittingModel.UVQ:
-        return x + p[0] - p[2] * dyc, y + p[1] + p[2] * dxc
-    if model == FittingModel.AFFINE:
-        return (
-            x + p[0] + p[2] * dxc + p[3] * dyc,
-            y + p[1] + p[4] * dxc + p[5] * dyc,
-        )
-    raise ValueError(f"unknown model {model}")
-
-
-def _h_rows(model: FittingModel, dwdx, dwdy, dxc, dyc):
-    """Steepest-descent rows (interpolation_class.cpp:728-739)."""
-    if model == FittingModel.U:
-        return [dwdx]
-    if model == FittingModel.UV:
-        return [dwdx, dwdy]
-    if model == FittingModel.UVQ:
-        return [dwdx, dwdy, -dwdx * dyc + dwdy * dxc]
-    if model == FittingModel.AFFINE:
-        return [dwdx, dwdy, dwdx * dxc, dwdx * dyc, dwdy * dxc, dwdy * dyc]
-    raise ValueError(f"unknown model {model}")
-
-
-def _split3_bf16(x):
-    """Split f32 into three bf16 parts with x == b1 + b2 + b3 to f32
-    precision (each part captures the next 8 mantissa bits)."""
-    b1 = x.astype(jnp.bfloat16)
-    r1 = x - b1.astype(jnp.float32)
-    b2 = r1.astype(jnp.bfloat16)
-    r2 = r1 - b2.astype(jnp.float32)
-    b3 = r2.astype(jnp.bfloat16)
-    return b1, b2, b3
-
-
-def _make_kernel(
-    model: FittingModel,
-    interp: Interpolation,
-    img_h: int,
-    img_w: int,
-    tile_h: int,
-    tile_w: int,
-    channels: int,
-    block: int,
-    p_pad: int,
-    dma_w: int = 0,
-    tile_parts: int = 3,
-):
-    """Build the Pallas kernel body for a block of `block` subsets.
-
-    Refs: pixdata [B, 8, P], params [B, 8], origins [B, 2] (y0, x0),
-    tiles [B, th, C*tw] (rows on sublanes; XLA-extracted), out [B, 8, 8],
-    sel scratch [B, taps*C*tw, P] f32.
-
-    With dma_w > 0 the tiles input is replaced by (org_smem [B, 2] SMEM,
-    img [C, Hp, Wp] in ANY/HBM) and each grid step fetches its subsets'
-    tiles itself: one aligned [tile_h, dma_w] async copy per subset per
-    channel (DMA offsets must respect the (8, 128) HBM tiling), then a
-    dynamic lane roll realigns x.  This kills the XLA vmap(dynamic_slice)
-    tile gather — a serial 1-subset-at-a-time while loop that dominated
-    the assembly cost (the kernel analog of the reference reading the
-    deformed image through the texture cache, correlationKernel.cu:601-619).
-    """
-    f32 = jnp.float32
-    taps = 4 if interp == Interpolation.BICUBIC else 2
-    halo = 1 if interp == Interpolation.BICUBIC else 0
-    w_all = channels * tile_w
-
-    if dma_w:
-        # Double-buffered in-kernel DMA: at grid step i the kernel first
-        # issues step i+1's tile fetches (origins come from the
-        # scalar-prefetch ref, so every step's addresses are known up
-        # front), then waits only on step i's — the HBM->VMEM latency of a
-        # whole block of tiles hides behind the previous block's compute.
-        # Without this the kernel serializes issue->wait->compute per step
-        # and runs latency-bound (~25us/step flat regardless of shape).
-
-        def kernel_dma(org_all_ref, pixdata_ref, params_ref, org_ref,
-                       img_ref, out_ref, sel_ref, raw_ref, sems):
-            # org_all_ref: FLAT [2 * S_pad] int32 (y0, x0 interleaved) —
-            # 1-D so the SMEM prefetch buffer stays compact (a 2-D minor
-            # dim would pad to 128 and blow the 1MB SMEM budget).
-            i = pl.program_id(0)
-            nsteps = pl.num_programs(0)
-
-            th_fetch = tile_h + 8  # sublane-alignment slack rows
-
-            def issue(step, slot):
-                base = step * block
-                for b in range(block):
-                    y0a = pl.multiple_of(
-                        org_all_ref[2 * (base + b)] & ~7, 8
-                    )
-                    x0a = pl.multiple_of(
-                        org_all_ref[2 * (base + b) + 1] & ~127, 128
-                    )
-                    for c in range(channels):
-                        pltpu.make_async_copy(
-                            img_ref.at[
-                                c, pl.ds(y0a, th_fetch), pl.ds(x0a, dma_w)
-                            ],
-                            raw_ref.at[slot, b * channels + c],
-                            sems.at[slot, b * channels + c],
-                        ).start()
-
-            @pl.when(i == 0)
-            def _():
-                issue(0, 0)
-
-            @pl.when(i + 1 < nsteps)
-            def _():
-                issue(i + 1, (i + 1) % 2)
-
-            slot = i % 2
-            tiles = []
-            for b in range(block):
-                base = i * block
-                y0 = org_all_ref[2 * (base + b)]
-                x0 = org_all_ref[2 * (base + b) + 1]
-                dy = y0 - (y0 & ~7)
-                dx = x0 - (x0 & ~127)
-                chans = []
-                for c in range(channels):
-                    pltpu.make_async_copy(
-                        img_ref.at[c, pl.ds(0, th_fetch), pl.ds(0, dma_w)],
-                        raw_ref.at[slot, b * channels + c],
-                        sems.at[slot, b * channels + c],
-                    ).wait()
-                    # Realign both axes: the DMA origin aligned down to the
-                    # (8, 128) HBM tiling; the rolls restore the exact tile
-                    # so the body (and the selection matmul's contraction)
-                    # sees tile_h x tile_w with no slack rows.
-                    if "noroll" in ABLATE:
-                        chans.append(
-                            raw_ref[slot, b * channels + c]
-                            [:tile_h, :tile_w] + jnp.float32(dx + dy) * 0.0)
-                    elif "nolaneroll" in ABLATE:
-                        rolled = pltpu.roll(
-                            raw_ref[slot, b * channels + c], th_fetch - dy,
-                            axis=0)
-                        chans.append(rolled[:tile_h, :tile_w])
-                    else:
-                        rolled = pltpu.roll(
-                            raw_ref[slot, b * channels + c], dma_w - dx,
-                            axis=1)
-                        rolled = pltpu.roll(rolled, th_fetch - dy, axis=0)
-                        chans.append(rolled[:tile_h, :tile_w])
-                tiles.append(
-                    jnp.concatenate(chans, axis=1)
-                    if channels > 1 else chans[0]
-                )
-            _body(pixdata_ref, params_ref, org_ref, jnp.stack(tiles),
-                  out_ref, sel_ref)
-
-    def kernel(pixdata_ref, params_ref, org_ref, tiles_ref, out_ref, sel_ref):
-        _body(pixdata_ref, params_ref, org_ref, tiles_ref[:], out_ref, sel_ref)
-
-    def _body(pixdata_ref, params_ref, org_ref, tiles, out_ref, sel_ref):
-        x = pixdata_ref[:, _ROW_X, :]  # [B, P]
-        y = pixdata_ref[:, _ROW_Y, :]
-        maskf = pixdata_ref[:, _ROW_MASK, :]
-        dxc = pixdata_ref[:, _ROW_DXC, :]
-        dyc = pixdata_ref[:, _ROW_DYC, :]
-
-        p = [params_ref[:, k : k + 1] for k in range(6)]  # [B, 1] bcast
-        xd, yd = _warp(model, p, x, y, dxc, dyc)
-
-        ax = jnp.floor(xd)
-        ay = jnp.floor(yd)
-        tx = xd - ax
-        ty = yd - ay
-        taps_, _, valid, kx, dkx, ky, dky = _interp_taps(
-            interp, tx, ty, xd, yd, img_h, img_w
-        )
-        if interp == Interpolation.NEAREST:
-            ax = jnp.floor(xd + 0.5)
-            ay = jnp.floor(yd + 0.5)
-        x0 = org_ref[:, 1:2]  # [B, 1] int32
-        y0 = org_ref[:, 0:1]
-        rx = ax.astype(jnp.int32) - halo - x0  # [B, P]
-        ry = ay.astype(jnp.int32) - halo - y0
-        in_tile = (
-            (rx >= 0) & (rx <= tile_w - taps) & (ry >= 0) & (ry <= tile_h - taps)
-        )
-        ok = (valid & in_tile).astype(f32)
-        rx = jnp.clip(rx, 0, tile_w - taps)
-        ry = jnp.clip(ry, 0, tile_h - taps)
-
-        # ---- one-hot row matmuls (MXU), one per subset -------------------
-        # wide[b, j*W + c] column block j holds tile rows shifted up by j:
-        # wide[b, r, j*W + c] = tile[b, r + j, c].  Both operands contract
-        # over their SUBLANE axis (tile rows), so tiles arrive untransposed.
-        zrow = jnp.zeros((block, 1, w_all), f32)
-        shifted = [tiles]
-        for j in range(1, taps):
-            shifted.append(
-                jnp.concatenate([tiles[:, j:, :]] + [zrow] * j, axis=1)
-            )
-        wide = jnp.concatenate(shifted, axis=2)  # [B, th, taps*W]
-        if tile_parts == 1:
-            # Integer-valued images (uint8 pyramids, ops/pyramid.py): every
-            # value 0..255 is EXACT in one bf16, so a single part suffices
-            # and the contraction is tile_h deep instead of 3*tile_h.
-            parts = wide.astype(jnp.bfloat16)
-        else:
-            b1, b2, b3 = _split3_bf16(wide)
-            ps = [b1, b2, b3][:tile_parts]
-            parts = jnp.concatenate(ps, axis=1)  # [B, parts*th, taps*W]
-
-        # O[b, r, p] = (r == ry[b, p]), exact 0/1 in bf16.
-        r_sub = jax.lax.broadcasted_iota(jnp.int32, (block, tile_h, p_pad), 1)
-        onehot = (r_sub == ry[:, None, :]).astype(jnp.bfloat16)
-
-        if "nosel" not in ABLATE:
-            for b in range(block):
-                o3 = (
-                    jnp.concatenate([onehot[b]] * tile_parts, axis=0)
-                    if tile_parts > 1
-                    else onehot[b]
-                )
-                sel_ref[b] = jax.lax.dot_general(
-                    parts[b],
-                    o3,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )
-        else:
-            sel_ref[0] = jnp.zeros((taps * w_all, p_pad), f32) + (
-                onehot[0, 0:1, :].astype(f32)
-                * parts[0, 0:1, 0:1].astype(f32))
-
-        # ---- tap-row combination (batched, lanes = pixels) ----------------
-        sel = sel_ref[:]  # [B, taps*W, P]
-        if "novpu" in ABLATE:
-            live = maskf
-            gs2 = []
-            for c in range(channels):
-                rows = [sel[:, c * tile_w + k, :] for k in range(6)]
-                rows += [live, live]
-                gs2.append(jnp.stack(rows, axis=1))
-            g2 = jnp.concatenate(gs2, axis=2) if channels > 1 else gs2[0]
-            if "nogram" not in ABLATE:
-                g2a = g2.reshape(block * 8, g2.shape[-1])
-                big2 = jax.lax.dot_general(
-                    g2a, g2a,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                for b in range(block):
-                    out_ref[b] = big2[8 * b : 8 * b + 8, 8 * b : 8 * b + 8]
-            else:
-                out_ref[:] = jnp.sum(g2, axis=2, keepdims=True) * jnp.ones(
-                    (block, 8, 8), f32)
-            return
-        tmp = ky[0][:, None, :] * sel[:, 0:w_all, :]
-        tmp_d = dky[0][:, None, :] * sel[:, 0:w_all, :]
-        for j in range(1, taps):
-            chunk = sel[:, j * w_all : (j + 1) * w_all, :]
-            tmp = tmp + ky[j][:, None, :] * chunk
-            tmp_d = tmp_d + dky[j][:, None, :] * chunk
-        # tmp[b, c*tw + w, p]: interpolated rows per channel.
-
-        # ---- column weights: scattered taps over the sublane axis --------
-        c_sub = jax.lax.broadcasted_iota(jnp.int32, (block, tile_w, p_pad), 1)
-        d = c_sub - rx[:, None, :]
-        w_col = jnp.zeros((block, tile_w, p_pad), f32)
-        w_col_d = jnp.zeros((block, tile_w, p_pad), f32)
-        for k in range(taps):
-            m = (d == k).astype(f32)
-            w_col = w_col + m * kx[k][:, None, :]
-            w_col_d = w_col_d + m * dkx[k][:, None, :]
-
-        # ---- per-channel sample + Gram ------------------------------------
-        live = maskf * ok  # [B, P]
-        bad = maskf * (1.0 - ok)
-        zero = jnp.zeros_like(bad)
-        gs = []
-        for c in range(channels):
-            tc = tmp[:, c * tile_w : (c + 1) * tile_w, :]
-            tdc = tmp_d[:, c * tile_w : (c + 1) * tile_w, :]
-            w_v = jnp.sum(w_col * tc, axis=1)  # [B, P]
-            dwdx = jnp.sum(w_col_d * tc, axis=1) * live
-            dwdy = jnp.sum(w_col * tdc, axis=1) * live
-            und = pixdata_ref[:, _ROW_UND + c, :]
-            v = (und - w_v) * live
-            h = _h_rows(model, dwdx, dwdy, dxc, dyc)
-            rows = h + [v, bad if c == 0 else zero]
-            rows = rows + [zero] * (8 - len(rows))
-            gs.append(jnp.stack(rows, axis=1))  # [B, 8, P]
-        g = jnp.concatenate(gs, axis=2) if channels > 1 else gs[0]
-
-        # ---- batched Gram: ONE [8B, P] x [P, 8B] matmul per block --------
-        # Per-subset [8, P] Grams are contraction-bound (P cycles each, B
-        # per step); one block-wide product computes all of them in the
-        # same P cycles (the off-diagonal blocks are discarded).  The
-        # diagonal [8, 8] blocks are the per-subset normal equations.
-        if "nogram" not in ABLATE:
-            g_all = g.reshape(block * 8, g.shape[-1])
-            big = jax.lax.dot_general(
-                g_all,
-                g_all,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [8B, 8B]
-            for b in range(block):
-                out_ref[b] = big[8 * b : 8 * b + 8, 8 * b : 8 * b + 8]
-        else:
-            out_ref[:] = jnp.sum(g, axis=2, keepdims=True) * jnp.ones(
-                (block, 8, 8), f32)
-
-    return (kernel_dma if dma_w else kernel), taps, w_all
-
-
-def extract_tiles(img: jax.Array, origins: jax.Array, tile_h: int,
-                  tile_w: int) -> jax.Array:
-    """Channel-major tiles: out[i, r, c*tw + w] = img[y0+r, x0+w, c].
-
-    One dynamic_slice per subset; for monochrome images the channel
-    transpose is a free reshape.
-    """
-
-    def one(org):
-        t = jax.lax.dynamic_slice(
-            img, (org[0], org[1], 0), (tile_h, tile_w, img.shape[2])
-        )
-        if img.shape[2] == 1:
-            return t.reshape(tile_h, tile_w)
-        return t.transpose(0, 2, 1).reshape(tile_h, img.shape[2] * tile_w)
-
-    return jax.vmap(one)(origins)
-
-
-def subset_bbox(xy: jax.Array, mask: jax.Array) -> jax.Array:
-    """[S, 4, 2] axis-aligned bounding-box corners of each subset."""
-    big = jnp.float32(1e9)
-    mins = jnp.min(jnp.where(mask[..., None], xy, big), axis=1)
-    maxs = jnp.max(jnp.where(mask[..., None], xy, -big), axis=1)
-    return jnp.stack(
-        [
-            mins,
-            jnp.stack([mins[..., 0], maxs[..., 1]], -1),
-            jnp.stack([maxs[..., 0], mins[..., 1]], -1),
-            maxs,
-        ],
-        axis=1,
-    )
-
-
-def pack_pixdata(xy, mask, und_w, center) -> jax.Array:
-    """Build the packed [S, 8, P_pad] pixel array (pixels on lanes).
-
-    und_w: [S, P] or [S, P, C] with C <= 3 (channels land in rows 5..7).
-    """
-    s, p = mask.shape
-    if und_w.ndim == 2:
-        und_w = und_w[..., None]
-    channels = und_w.shape[-1]
-    if channels > 3:
-        raise ValueError(f"at most 3 channels supported, got {channels}")
-    p_pad = -(-p // 128) * 128
-    maskf = mask.astype(jnp.float32)
-    und_rows = [und_w[..., c] for c in range(channels)]
-    und_rows += [jnp.zeros_like(maskf)] * (3 - channels)
-    rows = jnp.stack(
-        [
-            xy[..., 0],
-            xy[..., 1],
-            maskf,
-            xy[..., 0] - center[:, 0:1],
-            xy[..., 1] - center[:, 1:2],
-        ]
-        + und_rows,
-        axis=1,
-    )  # [S, 8, P]
-    out = jnp.zeros((s, 8, p_pad), jnp.float32)
-    return out.at[:, :, :p].set(rows)
-
-
-def compute_origins(
-    model: FittingModel,
-    interp: Interpolation,
-    bbox: jax.Array,
-    center: jax.Array,
-    params: jax.Array,
-    padded_h: int,
-    padded_w: int,
-    tile_h: int,
-    tile_w: int,
-) -> jax.Array:
-    """Tile origins from the warped subset bounding box.
-
-    bbox: [S, 4, 2] the four corners of each subset's axis-aligned bounding
-    box (all supported warps are affine, so warped corners bound the warped
-    subset).  Origins cover the spline halo and clip inside the padded
-    image.
-    """
-    from correlation_tpu.models.warp import warp_points
-
-    corners = warp_points(model, params, bbox, center)  # [S, 4, 2]
-    halo = 1 if interp == Interpolation.BICUBIC else 0
-    min_xy = jnp.floor(jnp.min(corners, axis=1)) - (halo + 1)
-    x0 = min_xy[..., 0].astype(jnp.int32)
-    y0 = min_xy[..., 1].astype(jnp.int32)
-    x0 = jnp.clip(x0, 0, max(padded_w - tile_w, 0))
-    y0 = jnp.clip(y0, 0, max(padded_h - tile_h, 0))
-    # NaN-poisoned parameters: force origin 0 so the kernel's validity logic
-    # (which sees NaN positions as invalid) decides.
-    finite = jnp.all(jnp.isfinite(corners), axis=(1, 2))
-    x0 = jnp.where(finite, x0, 0)
-    y0 = jnp.where(finite, y0, 0)
-    return jnp.stack([y0, x0], axis=-1)
-
-
-def choose_tile(
-    extent_y: int,
-    extent_x: int,
-    padded_h: int,
-    padded_w: int,
-    margin: int = 8,
-) -> tuple[int, int]:
-    """Static tile dims covering the warped subset + spline halo + warp
-    margin, rounded up to the (8, 8) granularity the kernel layouts like."""
-    need_h = extent_y + 4 + margin
-    need_w = extent_x + 4 + margin
-    th = min(-(-need_h // 8) * 8, padded_h)
-    tw = min(-(-need_w // 8) * 8, padded_w)
-    return int(th), int(tw)
-
-
-def dma_width(tile_w: int) -> int:
-    """Lane width of the in-kernel DMA window: the 128-aligned fetch must
-    cover a tile starting at any lane offset dx < 128."""
-    return -(-(tile_w + 127) // 128) * 128
-
-
-def choose_block(
-    tile_h: int, tile_w: int, p_pad: int, channels: int,
-    vmem_budget: int = 24 * 1024 * 1024,
-) -> int:
-    """Subsets per grid step, sized so the kernel's VMEM working set
-    (sel scratch + shifted tile copies + double-buffered DMA tiles +
-    pixdata blocks) stays within budget.  Returns 0 when even the minimum
-    block of 8 cannot fit — callers fall back to the xla_sep backend for
-    that level instead of risking a Mosaic VMEM OOM."""
-    taps = 4
-    w_all = channels * tile_w
-    th_eff = tile_h + 8  # DMA sublane-alignment slack
-    per_subset = 4 * (
-        taps * w_all * p_pad  # sel scratch
-        + taps * w_all * th_eff * 2  # wide + bf16 parts (approx)
-        + 3 * th_eff * p_pad  # onehot + iota temps
-        + 2 * channels * th_eff * dma_width(tile_w)  # double-buffered DMA
-        + 2 * 8 * p_pad  # double-buffered pixdata
-    )
-    # Multiple of 8: Mosaic requires 2-D block shapes (params/origins refs
-    # are [block, k]) whose sublane dim divides by 8.
-    fit = vmem_budget // max(per_subset, 1)
-    if fit < 8:
-        return 0
-    return min(64, fit & ~7)
-
-
-def prepare_image(img: jax.Array, tile_w: int) -> jax.Array:
-    """Pad + channel-major transpose of the deformed image for the
-    in-kernel-DMA path: [H, W, C] -> [C, Hp8+8, Wp128+dma_w] float32.
-
-    Iteration-invariant; the engine calls this once per level per frame
-    (prepare_levels) so the LM while-loop body never re-pads the image."""
-    h_pad8 = -(-img.shape[0] // 8) * 8
-    w_pad128 = -(-img.shape[1] // 128) * 128
-    hp = h_pad8 + 8
-    wp = w_pad128 + dma_width(tile_w)
-    img = jnp.pad(
-        img, ((0, hp - img.shape[0]), (0, wp - img.shape[1]), (0, 0))
-    )
-    return img.transpose(2, 0, 1)
-
-
-@functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15)
+import bench
+from correlation_tpu.engine import (
+    compute_level_statics,
+    prepare_levels,
+    resolve_backend,
 )
-def fused_assemble(
-    model: FittingModel,
-    interp: Interpolation,
-    tile_h: int,
-    tile_w: int,
-    img_h: int,
-    img_w: int,
-    img: jax.Array,
-    pixdata: jax.Array,
-    center: jax.Array,
-    params: jax.Array,
-    bbox: jax.Array,
-    block: int = 16,
-    interpret: bool = False,
-    in_kernel_dma: bool = True,
-    img_prepared: bool = False,
-    tile_parts: int = 3,
-) -> FusedAssembly:
-    """Run the fused v2 assembly over all subsets.
+from correlation_tpu.models.warp import translate_params
+from correlation_tpu.ops import assemble_v2 as v2
 
-    Args:
-      model, interp: warp/interpolation models (static).
-      tile_h, tile_w: tile dims (static; >= warped subset extent + stencil +
-        margin — engine.compute_level_statics).
-      img_h, img_w: TRUE image dims (validity windows).
-      img: [H, W, C] float32 deformed image (C <= 3), or the output of
-        prepare_image when img_prepared (DMA path only).
-      pixdata: [S, 8, P_pad] packed per-pixel data (pack_pixdata).
-      center: [S, 2] subset centers at this level.
-      params: [S, NP] current warp parameters.
-      bbox: [S, 4, 2] undeformed bounding-box corners (subset_bbox).
-      block: subsets per grid step.
-      interpret: run the kernel in interpreter mode (CPU tests).
-      in_kernel_dma: fetch the per-subset image tiles inside the kernel via
-        aligned HBM->VMEM async copies + a lane roll, double-buffered
-        across grid steps (fast path; the XLA alternative is a serial
-        vmap(dynamic_slice) loop).  Forced off in interpret mode (the
-        interpreter has no DMA).
-      img_prepared: img is already prepare_image output (padded,
-        channel-major) — skips the in-loop pad/transpose.
-      tile_parts: bf16 parts in the selection split: 3 = full f32 mantissa
-        (default, exact for any image), 2 = 16 mantissa bits (~1e-5
-        relative), 1 = EXACT for integer-valued 0..255 images (uint8
-        pyramids) and the fastest — the contraction depth scales with it.
+STAGES = ["stub", "tiles_only", "zero_tiles", "to_sel", "to_sample",
+          "to_interp", ""]
 
-    Returns:
-      FusedAssembly(A, b, chi, err) matching assemble_normal_equations.
-    """
-    s, _, p_pad = pixdata.shape
-    num_p = params.shape[-1]
-    channels = int(img.shape[0] if img_prepared else img.shape[-1])
-    if interpret:
-        in_kernel_dma = False
 
-    h_pad8 = -(-img_h // 8) * 8
-    w_pad128 = -(-img_w // 128) * 128
-    if in_kernel_dma:
-        # The DMA fetches tile_h + 8 rows (source offset aligns DOWN to a
-        # multiple of 8); the in-kernel sublane roll strips the slack so
-        # the body and the selection contraction see exactly tile_h rows.
-        th_fetch = tile_h + 8
-        dma_w = dma_width(tile_w)
-        if not img_prepared:
-            img = prepare_image(img, tile_w)
-        origins = compute_origins(
-            model, interp, bbox, center, params,
-            h_pad8, w_pad128, tile_h, tile_w,
-        )
-        # Body origins are exact: the rolls realign both axes before the
-        # body sees the tile.
-        org_body = origins
-    else:
-        if img_prepared:
-            raise ValueError("img_prepared requires in_kernel_dma")
-        pad_h = max(tile_h - img.shape[0], 0)
-        pad_w = max(tile_w - img.shape[1], 0)
-        if pad_h or pad_w:
-            img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
-        origins = compute_origins(
-            model, interp, bbox, center, params,
-            int(img.shape[0]), int(img.shape[1]), tile_h, tile_w,
-        )
-        org_body = origins
-        tiles = extract_tiles(img, origins, tile_h, tile_w)
-
-    block = max(1, min(block, s))
-    s_pad = -(-s // block) * block
-    if s_pad != s:
-        grow = s_pad - s
-        pixdata = jnp.pad(pixdata, ((0, grow), (0, 0), (0, 0)))
-        params = jnp.pad(params, ((0, grow), (0, 0)))
-        origins = jnp.pad(origins, ((0, grow), (0, 0)))
-        org_body = jnp.pad(org_body, ((0, grow), (0, 0)))
-        if not in_kernel_dma:
-            tiles = jnp.pad(tiles, ((0, grow), (0, 0), (0, 0)))
-
-    scal = jnp.zeros((s_pad, 8), jnp.float32)
-    scal = scal.at[:, :num_p].set(params)
-
-    kernel, taps, w_all = _make_kernel(
-        model, interp, img_h, img_w, tile_h, tile_w, channels, block, p_pad,
-        dma_w=dma_w if in_kernel_dma else 0,
-        tile_parts=tile_parts,
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    cfg, und_pyr, def_pyr, batch, params0, _raw = bench.build_problem(4096)
+    backend = resolve_backend(cfg, 1)
+    statics = dict(compute_level_statics(cfg, batch, def_pyr, backend))
+    levels = prepare_levels(
+        cfg, und_pyr, def_pyr,
+        [jnp.asarray(a) for a in batch.xy],
+        [jnp.asarray(a) for a in batch.mask],
+        jnp.asarray(batch.center0), statics,
     )
-    flops = s_pad * (
-        2 * (taps * w_all) * tile_parts * tile_h * p_pad
-        + 2 * 8 * 8 * p_pad * block  # batched Gram incl. off-diagonals
-    )
-    common = [
-        pl.BlockSpec((block, 8, p_pad), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 8), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((block, 2), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_spec = pl.BlockSpec((block, 8, 8), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((s_pad, 8, 8), jnp.float32)
-    cost = pl.CostEstimate(
-        flops=flops,
-        bytes_accessed=s_pad * (tile_h * w_all * 4 + p_pad * 8 * 4 + 256),
-        transcendentals=0,
-    )
-    if in_kernel_dma:
-        # Under PrefetchScalarGridSpec every index_map also receives the
-        # scalar-prefetch ref(s) after the grid indices.
-        common_sp = [
-            pl.BlockSpec((block, 8, p_pad), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 8), lambda i, o: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 2), lambda i, o: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # full origins array, read ahead for
-            grid=(s_pad // block,),  # the next block's DMA issue
-            in_specs=common_sp + [pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((block, 8, 8), lambda i, o: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((block, taps * w_all, p_pad), jnp.float32),
-                pltpu.VMEM(
-                    (2, block * channels, th_fetch, dma_w), jnp.float32
-                ),
-                pltpu.SemaphoreType.DMA((2, block * channels)),
-            ],
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(origins.reshape(-1), pixdata, scal, org_body, img)
-    else:
-        out = pl.pallas_call(
-            kernel,
-            grid=(s_pad // block,),
-            in_specs=common + [
-                pl.BlockSpec((block, tile_h, channels * tile_w),
-                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_spec,
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((block, taps * w_all, p_pad), jnp.float32),
-            ],
-            cost_estimate=cost,
-            interpret=interpret,
-        )(pixdata, scal, org_body, tiles)
 
-    a_mat = out[:s, :num_p, :num_p]
-    b_vec = out[:s, :num_p, num_p]
-    chi = out[:s, num_p, num_p]
-    err = out[:s, num_p + 1, num_p + 1] > 0.0
-    return FusedAssembly(a_mat, b_vec, chi, err)
+    for lvl in cfg.pyramid.levels_coarse_to_fine():
+        st = statics[lvl]
+        la = levels[lvl]
+        p_lvl = translate_params(jnp.asarray(params0), 0, lvl)
+        units = la.pixdata.shape[0]
+        print(
+            f"L{lvl}: units={units} block={st.block} group={st.group} "
+            f"tile={st.tile_h}x{st.tile_w} tsrc={st.tsrc}"
+        )
+        prev = 0.0
+        for stage in STAGES:
+
+            def body(i, carry, la=la, st=st, stage=stage):
+                p, acc = carry
+                out = v2.fused_assemble(
+                    cfg.model, cfg.interpolation, st.tile_h, st.tile_w,
+                    st.img_h, st.img_w, la.def_img, la.pixdata, la.center,
+                    p, la.bbox, st.block, img_prepared=True,
+                    tile_parts=st.parts, gram_mode=st.gram,
+                    row_slack=st.slack, group=st.group, sel_mode=st.sel,
+                    tile_src=st.tsrc, ablate=stage,
+                )
+                p = p + 1e-12 * out.chi[: p.shape[0], None]
+                return p, acc + out.chi
+
+            @jax.jit
+            def run(p0, body=body):
+                return jax.lax.fori_loop(
+                    0, n, body, (p0, jnp.zeros(p0.shape[0], jnp.float32))
+                )
+
+            out = run(p_lvl)
+            jax.block_until_ready(out)
+            np.asarray(out[1][:1])
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = run(p_lvl)
+                jax.block_until_ready(out)
+                np.asarray(out[1][:1])
+                best = min(best, (time.perf_counter() - t0) / n)
+            name = stage or "full"
+            marg = best * 1e3 - prev if stage != "zero_tiles" else 0.0
+            extra = (
+                "" if stage == "zero_tiles"
+                else f"  (+{marg:6.3f})"
+            )
+            print(
+                f"  {name:11s}: {best*1e3:7.3f} ms/assembly"
+                f" ({best/units*1e6:6.3f} us/unit){extra}"
+            )
+            if stage != "zero_tiles":
+                prev = best * 1e3
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,7 @@ def timeit(fn, reps=10):
 
 def main():
     num_subsets = 4096
-    cfg, und_pyr, def_pyr, batch, params0 = build_problem(num_subsets)
+    cfg, und_pyr, def_pyr, batch, params0, _raw = build_problem(num_subsets)
     statics = compute_level_statics(cfg, batch, def_pyr, "pallas")
     statics_d = dict(statics)
     print("statics:", statics_d)

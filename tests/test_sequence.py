@@ -334,3 +334,43 @@ def test_previous_chain_matches_oracle():
         )
         # chained: the next pair's guess is this pair's result
         guess = np.asarray(out["params"], np.float64)
+
+
+def test_chunked_matches_per_frame():
+    """The chunked Eulerian fast path (engine.correlate_frames, one
+    dispatch per K frames) must reproduce the per-frame driver's records
+    exactly — params, guesses (constant-velocity chain), chi, iterations,
+    errors, and globals."""
+    du, dv = 0.62, -0.41
+    frames = _frames(6, du, dv)
+    pts = [_grid_pts(30, 30, 62, 62), _grid_pts(20, 40, 50, 70)]
+    for ref in (ReferenceImage.FIRST, ReferenceImage.PREVIOUS):
+        cfg_c = _cfg(
+            deformation=DeformationDescription.EULERIAN,
+            reference=ref,
+            frame_chunk=3,
+        )
+        cfg_p = _cfg(
+            deformation=DeformationDescription.EULERIAN,
+            reference=ref,
+            frame_chunk=1,
+        )
+        rc = run_sequence(frames, pts, cfg_c)
+        rp = run_sequence(frames, pts, cfg_p)
+        assert len(rc) == len(rp) == 5
+        for a, b in zip(rc, rp):
+            np.testing.assert_allclose(a.params, b.params, atol=1e-5)
+            np.testing.assert_allclose(
+                a.initial_guess, b.initial_guess, atol=1e-5
+            )
+            np.testing.assert_allclose(a.chi, b.chi, rtol=1e-4)
+            np.testing.assert_array_equal(a.iterations, b.iterations)
+            np.testing.assert_array_equal(a.error, b.error)
+            np.testing.assert_allclose(
+                a.def_center, b.def_center, atol=1e-5
+            )
+            np.testing.assert_allclose(
+                a.def_global_center, b.def_global_center, atol=1e-5
+            )
+            assert a.und_e is not None and a.def_e is not None
+            np.testing.assert_array_equal(a.und_e, b.und_e)
