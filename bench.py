@@ -91,8 +91,8 @@ def main():
         resolve_backend,
     )
 
-    num_subsets = 4096
-    frame_chunk = 8  # SequenceConfig.frame_chunk default
+    num_subsets = 16384 if "--dense" in sys.argv else 4096
+    frame_chunk = 16  # SequenceConfig.frame_chunk default
     cfg, und_pyr, def_pyr, batch, params0, raw = build_problem(num_subsets)
 
     # The production frame loop (sequence.run_sequence, Eulerian): K frame
@@ -159,6 +159,7 @@ def main():
                 "vs_baseline": round(solves_per_s / 1e5, 4),
                 "hard_error_frac": round(hard_frac, 5),
                 "frame_chunk": frame_chunk,
+                "num_subsets": num_subsets,
             }
         )
     )

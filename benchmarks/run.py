@@ -270,29 +270,85 @@ def config5(num_subsets=10240):
     virtual = jax.devices()[0].platform == "cpu" and n_dev > 1
     params0 = np.zeros((batch.num_subsets, 6), np.float32)
 
+    # Meshless baseline: no mesh, no shard_map — XLA free to use the
+    # whole device/host.  On a host-virtual CPU "mesh" this (not the
+    # 1-device-mesh run, which pins XLA to one virtual device and
+    # under-uses the host) is the honest denominator for sharding
+    # efficiency; on a real chip perf0 vs perf1 bounds the mesh +
+    # shard_map overhead on hardware.
+    batch_dev = batch.to_device()
+
+    def run0():
+        return correlate(cfg, und_pyr, def_pyr, batch_dev, params0)
+
+    dt0 = _time(run0)
+    perf0 = num_subsets / dt0
+    _emit(5, "dense_grid_solves_per_s_meshless", perf0, "solves/s",
+          subsets=num_subsets)
+
+    def mesh_runner(mesh):
+        """correlate's mesh path with inputs STAGED ONCE (the meshless row
+        stages batch_dev once too): what remains in the timed region is
+        the mesh/shard_map program itself, not per-call host->device
+        re-sharding — the quantity the mesh-overhead bound is about."""
+        from correlation_tpu.engine import (
+            _backend_uses_pallas,
+            _correlate_jit,
+            _correlate_shardmap_fn,
+            compute_level_statics,
+            resolve_backend,
+        )
+        from correlation_tpu.parallel.mesh import (
+            pad_to_mesh, replicate, shard_inputs,
+        )
+
+        backend = resolve_backend(cfg, 1)
+        if (
+            cfg.backend == "auto"
+            and backend == "pallas"
+            and mesh.devices.flat[0].platform != "tpu"
+        ):
+            backend = "xla_sep"
+        statics = (
+            compute_level_statics(
+                cfg, batch, def_pyr, backend,
+                shard_divisor=mesh.devices.size,
+            )
+            if backend != "xla"
+            else None
+        )
+        p0 = np.asarray(params0, np.float32)
+        bp = pad_to_mesh(batch, mesh)
+        if p0.shape[0] != bp.num_subsets:
+            p0 = np.pad(p0, ((0, bp.num_subsets - p0.shape[0]), (0, 0)))
+        xy, mask, c0, params = shard_inputs(mesh, bp, p0)
+        und = replicate(mesh, [np.asarray(a) for a in und_pyr])
+        dfm = replicate(mesh, [np.asarray(a) for a in def_pyr])
+        if _backend_uses_pallas(backend):
+            fn = _correlate_shardmap_fn(cfg, statics, mesh)
+            return lambda: fn(und, dfm, xy, mask, c0, params)
+        return lambda: _correlate_jit(
+            cfg, statics, und, dfm, xy, mask, c0, params
+        )
+
     mesh1 = make_mesh(jax.devices()[:1])
-
-    def run1():
-        return correlate(cfg, und_pyr, def_pyr, batch, params0, mesh=mesh1)
-
-    dt1 = _time(run1)
+    dt1 = _time(mesh_runner(mesh1))
     perf1 = num_subsets / dt1
     _emit(5, "dense_grid_solves_per_s", perf1, "solves/s",
-          subsets=num_subsets, devices=1)
+          subsets=num_subsets, devices=1,
+          mesh_overhead_vs_meshless=round(dt1 / dt0 - 1.0, 4))
 
     if n_dev > 1:
         mesh_n = make_mesh()
-
-        def run_n():
-            return correlate(
-                cfg, und_pyr, def_pyr, batch, params0, mesh=mesh_n
-            )
-
-        dt_n = _time(run_n)
+        dt_n = _time(mesh_runner(mesh_n))
         perf_n = num_subsets / dt_n
+        base = max(perf0, perf1) if virtual else perf1
         extra = {
-            "sharding_efficiency": round(perf_n / perf1, 4),
-            "per_device_efficiency": round(perf_n / (n_dev * perf1), 4),
+            # vs the STRONGER single-device program — on shared cores the
+            # meshless run is the real baseline (r03's apparent >1
+            # efficiency was a weak 1-device-mesh denominator).
+            "sharding_efficiency": round(perf_n / base, 4),
+            "per_device_efficiency": round(perf_n / (n_dev * base), 4),
             "hardware": "host-virtual (shared cores)" if virtual
             else "distinct devices",
         }

@@ -101,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--plot-dir", type=str, default=None,
                     help="write per-frame overlay PNGs (contours + centers) "
                          "here — the headless analog of the GUI overlays")
+    ap.add_argument("--plot-points", action="store_true",
+                    help="with --plot-dir: also draw the WARPED subset "
+                         "pixels on each overlay (the getDefXY0ToCPU / "
+                         "plot_inside_points analog)")
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint .npz path; resumes from it if present "
                          "and re-saves as the run advances")
@@ -280,7 +284,11 @@ def main(argv: list[str] | None = None) -> int:
             def __len__(self):
                 return len(args.images)
 
-        paths = viz.save_sequence_overlays(_Reload(), records, args.plot_dir)
+        paths = viz.save_sequence_overlays(
+            _Reload(), records, args.plot_dir,
+            point_lists=point_lists if args.plot_points else None,
+            model=solver.model if args.plot_points else None,
+        )
         print(f"wrote {len(paths)} overlay images to {args.plot_dir}")
     csv = write_report(
         records,

@@ -424,6 +424,7 @@ def prepare_levels(
     mask_levels: list[jax.Array],
     center0: jax.Array,
     statics: dict[int, LevelStatic] | None = None,
+    skip_def: bool = False,
 ) -> dict[int, LevelArrays]:
     """Build LevelArrays for every level in the schedule.
 
@@ -460,11 +461,13 @@ def prepare_levels(
             )
         elif statics[lvl].sep:
             st = statics[lvl]
-            img = def_pyramid[lvl]
-            pad_h = max(st.tile_h - img.shape[0], 0)
-            pad_w = max(st.tile_w - img.shape[1], 0)
-            if pad_h or pad_w:
-                img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+            img = None
+            if not skip_def:
+                img = def_pyramid[lvl]
+                pad_h = max(st.tile_h - img.shape[0], 0)
+                pad_w = max(st.tile_w - img.shape[1], 0)
+                if pad_h or pad_w:
+                    img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
             out[lvl] = LevelArrays(
                 xy, mask, center, und_w, n_points, def_img=img,
                 bbox=bbox, img_hw=img_hw,
@@ -480,9 +483,14 @@ def prepare_levels(
                 und_w,
                 n_points,
                 # Padded + channel-major once per frame; the LM while-loop
-                # body consumes it as-is (img_prepared=True).
-                def_img=v2.prepare_image(
-                    def_pyramid[lvl], statics[lvl].tile_w
+                # body consumes it as-is (img_prepared=True).  Callers
+                # that hoist the prep (correlate_frames) skip it here.
+                def_img=(
+                    None
+                    if skip_def
+                    else v2.prepare_image(
+                        def_pyramid[lvl], statics[lvl].tile_w
+                    )
                 ),
                 pixdata=pixdata,
                 bbox=bbox,
@@ -592,6 +600,7 @@ def _correlate_frames_jit(
     previous result.  Seeding p_seed = prev_seed = guess makes step 0 of
     a fresh sequence start exactly from the customized frame-0 guess.
     """
+    from correlation_tpu.ops import assemble_v2 as v2
     from correlation_tpu.ops.pyramid import build_pyramid
 
     statics_d = dict(statics) if statics else None
@@ -601,28 +610,84 @@ def _correlate_frames_jit(
     )(frames_stack)
     n_points0 = jnp.sum(mask[0], axis=-1)
 
-    def body(carry, i):
-        p, prev, chi_c, it_c = carry
-        if ref_first:
-            guess = p + (p - prev)
-            und_idx = 0
-        else:
-            guess = p
-            und_idx = i
-        guess = jnp.where(i == override_step, guess0, guess)
-        und_pyr = [
-            jax.lax.dynamic_index_in_dim(L, und_idx, keepdims=False)
-            for L in pyr_stack
-        ]
+    # Hoist scan-invariant work.  The deformed-image DMA prep (pad +
+    # channel transpose) runs ONCE for the whole stack; with
+    # reference-First the entire subset side (und sampling, pixdata
+    # packing, bbox) is frame-invariant too and leaves the scan.
+    schedule = cfg.pyramid.levels_coarse_to_fine()
+    tiled = statics_d is not None
+    prepped = {}
+    if tiled:
+        for lvl in schedule:
+            st = statics_d[lvl]
+            if st.sep:
+                img = pyr_stack[lvl]
+                pad_h = max(st.tile_h - img.shape[1], 0)
+                pad_w = max(st.tile_w - img.shape[2], 0)
+                if pad_h or pad_w:
+                    img = jnp.pad(
+                        img, ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+                    )
+                prepped[lvl] = img
+            else:
+                prepped[lvl] = jax.vmap(
+                    lambda im, tw=st.tile_w: v2.prepare_image(im, tw)
+                )(pyr_stack[lvl])
+    base_levels = None
+    if ref_first:
+        und_pyr0 = [L[0] for L in pyr_stack]
+        base_levels = prepare_levels(
+            cfg, und_pyr0, und_pyr0, xy, mask, center0, statics_d,
+            skip_def=tiled,
+        )
+
+    def frame_levels(i):
+        """LevelArrays for pair i (def = stack[i+1])."""
+        if ref_first and tiled:
+            return {
+                lvl: base_levels[lvl]._replace(
+                    def_img=jax.lax.dynamic_index_in_dim(
+                        prepped[lvl], i + 1, keepdims=False
+                    )
+                )
+                for lvl in schedule
+            }
+        und_pyr = (
+            und_pyr0
+            if ref_first
+            else [
+                jax.lax.dynamic_index_in_dim(L, i, keepdims=False)
+                for L in pyr_stack
+            ]
+        )
         def_pyr = [
             jax.lax.dynamic_index_in_dim(L, i + 1, keepdims=False)
             for L in pyr_stack
         ]
         levels = prepare_levels(
-            cfg, und_pyr, def_pyr, xy, mask, center0, statics_d
+            cfg, und_pyr, def_pyr, xy, mask, center0, statics_d,
+            skip_def=tiled,
         )
+        if tiled:
+            levels = {
+                lvl: levels[lvl]._replace(
+                    def_img=jax.lax.dynamic_index_in_dim(
+                        prepped[lvl], i + 1, keepdims=False
+                    )
+                )
+                for lvl in schedule
+            }
+        return levels
+
+    def body(carry, i):
+        p, prev, chi_c, it_c = carry
+        if ref_first:
+            guess = p + (p - prev)
+        else:
+            guess = p
+        guess = jnp.where(i == override_step, guess0, guess)
         res = correlate_prepared(
-            cfg, levels, guess, center0, n_points0, statics_d
+            cfg, frame_levels(i), guess, center0, n_points0, statics_d
         )
         if stop_frame:
             # Batched stop-frame: an errored sector's chained state does

@@ -665,10 +665,16 @@ def _make_kernel(
                 fold_c = jax.lax.broadcasted_iota(
                     jnp.int32, (n_out * 8, 8), 1
                 )
-                fold = ((fold_r & 7) == fold_c).astype(f32)
+                fold = ((fold_r & 7) == fold_c).astype(jnp.bfloat16)
+                # Mosaic lowers this f32xf32 dot at reduced precision;
+                # splitting the lhs into three bf16 parts against the 0/1
+                # rhs makes every product exact (b1+b2+b3 reconstructs
+                # the f32 mantissa) — same trick as the tile selection.
+                m1, m2, m3 = _split3_bf16(big * diag)
+                lhs = jnp.concatenate([m1, m2, m3], axis=1)
                 folded = jax.lax.dot_general(
-                    big * diag,
-                    fold,
+                    lhs,
+                    jnp.concatenate([fold] * 3, axis=0),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
                 )  # [8N, 8]
@@ -865,10 +871,11 @@ def choose_block(
             4 * 2 * channels * th_eff * dma_width(tile_w)
         )
     fit = (vmem_budget - img_bytes) // max(per_subset, 1)
-    if fit < 4:
-        return 0
     if fit < 8:
-        return 4
+        # Mosaic's sublane rule: a multi-step grid needs the second-minor
+        # block dim divisible by 8, so 8 is the hard minimum — callers
+        # fall back to the xla_sep backend below it.
+        return 0
     return min(64, fit & ~7)
 
 
@@ -1036,6 +1043,10 @@ def fused_assemble(
         tiles = extract_tiles(img, origins, tile_h, tile_w)
 
     block = max(1, min(block, units))
+    if block % 8 and -(-units // block) > 1:
+        # Mosaic requires the second-minor block dim divisible by 8
+        # unless the block spans the whole array (single grid step).
+        block = min(-(-block // 8) * 8, units)
     u_pad = -(-units // block) * block
     if u_pad != units:
         grow = u_pad - units

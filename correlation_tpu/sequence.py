@@ -50,7 +50,7 @@ class SequenceConfig:
     # inside ONE device dispatch (engine.correlate_frames), amortizing the
     # per-call dispatch latency the way the reference overlaps its frame
     # loop with prefetch (manager_class.cpp:1381-1475).  1 = per-frame.
-    frame_chunk: int = 8
+    frame_chunk: int = 16
 
 
 @dataclasses.dataclass
@@ -212,6 +212,22 @@ def _warp_ragged(
         )
     )
     return [out[i, : lens[i]].copy() for i in range(s)]
+
+
+def warped_inside_points(
+    model: FittingModel,
+    params: np.ndarray,
+    point_lists: list[np.ndarray],
+    centers: np.ndarray,
+) -> list[np.ndarray]:
+    """Per-sector warped (deformed) point sets for plotting.
+
+    The analog of cudaPolygon::getDefXY0ToCPU (cuda_polygon.cu:49-90) +
+    managerClass plot_inside_points (manager_class.cpp:606-612): applies
+    each sector's current warp to its undeformed inside points about the
+    sector center.  One batched dispatch for all sectors.
+    """
+    return _warp_ragged(model, params, point_lists, centers)
 
 
 def advance_domain(

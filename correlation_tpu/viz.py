@@ -116,6 +116,8 @@ def render_overlay(
     points: np.ndarray | None = None,
     line_color=(0, 255, 0),
     point_color=(255, 64, 64),
+    dots: np.ndarray | None = None,
+    dot_color=(64, 128, 255),
 ):
     """Draw polylines and point markers onto a frame.
 
@@ -123,13 +125,26 @@ def render_overlay(
       frame: [H, W] or [H, W, C] uint8-valued image.
       polylines: list of [N, 2] (x, y) polylines.
       points: [M, 2] (x, y) marker positions (crosses).
+      dots: [M, 2] (x, y) single-pixel markers — dense sets like warped
+        subset pixels (the plot_inside_points analog,
+        manager_class.cpp:606-612); written directly into the bitmap so
+        tens of thousands draw fast.
 
     Returns:
       A PIL.Image in RGB.
     """
     from PIL import Image, ImageDraw
 
-    img = Image.fromarray(_to_rgb(frame))
+    rgb = _to_rgb(frame).copy()
+    if dots is not None and len(dots):
+        d = np.floor(np.asarray(dots, np.float64) + 0.5).astype(np.int64)
+        h, w = rgb.shape[:2]
+        keep = (
+            (d[:, 0] >= 0) & (d[:, 0] < w) & (d[:, 1] >= 0) & (d[:, 1] < h)
+        )
+        d = d[keep]
+        rgb[d[:, 1], d[:, 0]] = np.asarray(dot_color, np.uint8)
+    img = Image.fromarray(rgb)
     draw = ImageDraw.Draw(img)
     for line in polylines or []:
         pts = [(float(x), float(y)) for x, y in np.asarray(line)]
@@ -148,6 +163,8 @@ def save_sequence_overlays(
     records,
     out_dir: str,
     prefix: str = "overlay",
+    point_lists: list[np.ndarray] | None = None,
+    model=None,
 ) -> list[str]:
     """Write one annotated PNG per frame pair.
 
@@ -155,19 +172,41 @@ def save_sequence_overlays(
     contours (if contour tracking was on) and the deformed sector centers —
     the headless equivalent of the live def-image overlay.  Also writes
     `<prefix>_und.png`: frame 0 with the undeformed contours/centers.
+
+    point_lists + model: when given, each overlay also shows the WARPED
+    subset pixels (sequence.warped_inside_points — the getDefXY0ToCPU /
+    plot_inside_points analog, cuda_polygon.cu:49-90,
+    manager_class.cpp:606-612).  Under the (default) Eulerian description
+    the undeformed points are stationary, so the frame-0 lists apply to
+    every pair.
     """
     os.makedirs(out_dir, exist_ok=True)
     written = []
     if records:
         rec0 = records[0]
         path = os.path.join(out_dir, f"{prefix}_und.png")
+        und_dots = (
+            np.concatenate(point_lists, axis=0)
+            if point_lists is not None
+            else None
+        )
         render_overlay(
-            frames[0], rec0.und_contours, rec0.und_center
+            frames[0], rec0.und_contours, rec0.und_center, dots=und_dots
         ).save(path)
         written.append(path)
     for rec in records:
         img = frames[rec.frame + 1]
         path = os.path.join(out_dir, f"{prefix}_{rec.frame + 1:05d}.png")
-        render_overlay(img, rec.def_contours, rec.def_center).save(path)
+        dots = None
+        if point_lists is not None and model is not None:
+            from correlation_tpu.sequence import warped_inside_points
+
+            warped = warped_inside_points(
+                model, rec.params, point_lists, rec.und_center
+            )
+            dots = np.concatenate(warped, axis=0)
+        render_overlay(
+            img, rec.def_contours, rec.def_center, dots=dots
+        ).save(path)
         written.append(path)
     return written

@@ -195,3 +195,45 @@ def test_cli_argument_errors(tmp_path):
         )
         == 2
     )  # wrong guess length
+
+
+def test_warped_inside_points_and_overlay(tmp_path):
+    """getDefXY0ToCPU analog: exported warped point sets equal warp_points
+    of the undeformed sets, and overlays show the deformed subset pixels."""
+    import jax.numpy as jnp
+
+    from correlation_tpu import viz
+    from correlation_tpu.models.warp import warp_points
+    from correlation_tpu.sequence import warped_inside_points
+
+    pts = [_grid_pts(30, 30, 40, 40), _grid_pts(50, 50, 58, 56)]
+    centers = np.array([p.mean(axis=0) for p in pts], np.float32)
+    params = np.array([[1.5, -0.5], [0.25, 2.0]], np.float32)
+    warped = warped_inside_points(FittingModel.UV, params, pts, centers)
+    assert len(warped) == 2
+    for i, (p, w) in enumerate(zip(pts, warped)):
+        expect = np.asarray(
+            warp_points(
+                FittingModel.UV,
+                jnp.asarray(params[i : i + 1]),
+                jnp.asarray(p[None]),
+                jnp.asarray(centers[i : i + 1]),
+            )
+        )[0]
+        np.testing.assert_allclose(w, expect, atol=1e-6)
+
+    # Overlay PNGs carry the warped pixels (dot markers are drawn).
+    frames = _frames(3, 0.6, -0.4)
+    cfg = _cfg()
+    records = run_sequence(frames, pts, cfg)
+    out_dir = str(tmp_path / "ov")
+    paths = viz.save_sequence_overlays(
+        frames, records, out_dir,
+        point_lists=pts, model=cfg.solver.model,
+    )
+    assert len(paths) == 3
+    from PIL import Image
+
+    img = np.asarray(Image.open(paths[1]))
+    # dot_color pixels present
+    assert (img == np.array([64, 128, 255])).all(axis=-1).sum() > 50

@@ -237,6 +237,26 @@ def test_error_modes_distinguished(mode):
         np.testing.assert_allclose(
             records[1].params[1], records[0].params[1]
         )
+        # ... and its record/CSV row keeps the PREVIOUS chi/iterations
+        # (plus the error code) — the reference's skipped sectors retain
+        # previous values (manager_class.cpp:535-546).
+        assert records[1].chi[1] == records[0].chi[1]
+        assert records[1].iterations[1] == records[0].iterations[1]
+        from correlation_tpu.report import write_report
+
+        csv = write_report(records, reference_first=True)
+        rows = [r.split(",") for r in csv.strip().splitlines()[1:]]
+        # rows alternate sectors within a frame; find frame-1 sector-1
+        header = csv.strip().splitlines()[0].split(",")
+        chi_col = header.index("chi")
+        it_col = header.index("iterations")
+        err_col = header.index("error_code")
+        f0s1, f1s1 = rows[1], rows[3]
+        assert float(f1s1[chi_col]) == float(f0s1[chi_col])
+        assert int(f1s1[it_col]) == int(f0s1[it_col])
+        assert int(f1s1[err_col]) == int(
+            ErrorCode.INTERPOLATION_OUT_OF_IMAGE
+        )
     else:
         # continue: state advances with the solver's returned params (the
         # untouched initial guess for an init failure)

@@ -55,7 +55,7 @@ def _problem(model, channels, s=24, side=13, seed=5):
 
 
 def _run(model, interp, img, xy, mask, center, und_w, params,
-         in_kernel_dma, tile_parts, block=8):
+         in_kernel_dma, tile_parts, block=8, tile_src="dma", **kw):
     from correlation_tpu.ops import assemble_v2 as v2
 
     h, w = int(img.shape[0]), int(img.shape[1])
@@ -65,6 +65,7 @@ def _run(model, interp, img, xy, mask, center, und_w, params,
     out = v2.fused_assemble(
         model, interp, th, tw, h, w, img, pix, center, params, bbox,
         block, in_kernel_dma=in_kernel_dma, tile_parts=tile_parts,
+        tile_src=tile_src, **kw,
     )
     return [np.asarray(x) for x in out]
 

@@ -1,0 +1,101 @@
+"""Hardware parity of the round-4 kernel modes.
+
+Round 4 added: VMEM-resident tile sources ("vmem" = MXU one-hot shift
+realignment, "vmem_roll" = dynamic rolls), the batched row-selection
+dot_general, the per-unit batched Gram ("unit"), the fixed "mask" Gram
+fold, and a block=4 minimum-block path.  Each must agree with the
+round-3 baseline configuration (DMA tiles + looped selection + "slice"
+Gram) on real hardware.  A CPU-only run skips visibly (conftest).
+"""
+
+import numpy as np
+import pytest
+
+from correlation_tpu.config import FittingModel, Interpolation
+from test_dma_parity import _problem, _run
+
+MODEL, INTERP = FittingModel.AFFINE, Interpolation.BICUBIC
+
+
+def _baseline(prob, tile_parts):
+    return _run(
+        MODEL, INTERP, *prob, in_kernel_dma=True, tile_parts=tile_parts,
+        tile_src="dma", sel_mode="loop", gram_mode="slice",
+    )
+
+
+@pytest.mark.parametrize("tile_src", ["vmem", "vmem_roll"])
+@pytest.mark.parametrize("tile_parts", [1, 3])
+def test_vmem_tile_sources_bitexact(tile_src, tile_parts):
+    """VMEM-resident tiles (direct slices; x realigned by a bf16 one-hot
+    shift matmul or a dynamic roll) must be BIT-EXACT vs the DMA path —
+    identical values reach the identical body."""
+    prob = _problem(MODEL, 1)
+    ref = _baseline(prob, tile_parts)
+    got = _run(
+        MODEL, INTERP, *prob, in_kernel_dma=True, tile_parts=tile_parts,
+        tile_src=tile_src, sel_mode="loop", gram_mode="slice",
+    )
+    for a, b, name in zip(got, ref, ["A", "b", "chi", "err"]):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} differs")
+
+
+def test_batched_selection_bitexact():
+    """One batched dot_general vs one dot per unit: same contraction per
+    subset, so bit-exact."""
+    prob = _problem(MODEL, 1)
+    ref = _baseline(prob, 1)
+    got = _run(
+        MODEL, INTERP, *prob, in_kernel_dma=True, tile_parts=1,
+        tile_src="dma", sel_mode="batched", gram_mode="slice",
+    )
+    for a, b, name in zip(got, ref, ["A", "b", "chi", "err"]):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} differs")
+
+
+@pytest.mark.parametrize("gram_mode", ["unit", "mask", "subset"])
+def test_gram_modes_agree(gram_mode):
+    """Gram reductions differ only in contraction shape/association; the
+    f32 results must agree to f32-rounding tolerance (and usually
+    bit-exactly) with the block-batched "slice" product."""
+    prob = _problem(MODEL, 1)
+    ref = _baseline(prob, 1)
+    got = _run(
+        MODEL, INTERP, *prob, in_kernel_dma=True, tile_parts=1,
+        tile_src="dma", sel_mode="loop", gram_mode=gram_mode,
+    )
+    scale = max(np.abs(ref[0]).max(), 1.0)
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-5 * scale)
+    np.testing.assert_allclose(
+        got[2], ref[2], rtol=3e-5, atol=1e-2
+    )
+    np.testing.assert_array_equal(got[3], ref[3])
+
+
+def test_block4_path_compiles_and_matches():
+    """A sub-8 block request on a multi-step grid violates Mosaic's
+    sublane-divisibility rule; fused_assemble must round it up to a legal
+    block and still match block=8 bit-exactly (ADVICE r3)."""
+    prob = _problem(MODEL, 1)
+    ref = _run(
+        MODEL, INTERP, *prob, in_kernel_dma=True, tile_parts=1, block=8,
+    )
+    got = _run(
+        MODEL, INTERP, *prob, in_kernel_dma=True, tile_parts=1, block=4,
+    )
+    for a, b, name in zip(got, ref, ["A", "b", "chi", "err"]):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} differs")
+
+
+def test_default_auto_config_matches_r3_baseline():
+    """The shipped defaults (auto tile source resolving to vmem, batched
+    selection, unit Gram) vs the full round-3 configuration."""
+    prob = _problem(MODEL, 1)
+    ref = _baseline(prob, 1)
+    got = _run(
+        MODEL, INTERP, *prob, in_kernel_dma=True, tile_parts=1,
+        tile_src="auto",
+    )
+    scale = max(np.abs(ref[0]).max(), 1.0)
+    np.testing.assert_allclose(got[0], ref[0], atol=2e-5 * scale)
+    np.testing.assert_array_equal(got[3], ref[3])
