@@ -233,14 +233,60 @@ def config4():
         for i in range(4)
         for j in range(4)
     ]
-    # Warm the compile cache with an identically-shaped 2-frame run so the
-    # meter reports steady-state sequence throughput.
-    run_sequence(frames[:2], pts, cfg)
+    # Warm the compile cache with an identically-shaped full run (the
+    # chunked driver compiles one scan per chunk shape) so the meter
+    # reports steady-state sequence throughput.
+    run_sequence(frames, pts, cfg)
     meter = SolveMeter()
     records = run_sequence(frames, pts, cfg, meter=meter)
     drift = records[-1].params.mean(axis=0)
     _emit(4, "sequence_subset_solves_per_s", meter.solves_per_s, "solves/s",
           frames=len(records), sectors=len(pts),
+          final_u=round(float(drift[0]), 3),
+          final_v=round(float(drift[1]), 3))
+
+
+def config4b(num_subsets=4096, n_frames=33):
+    """Dense sequence through the PRODUCTION driver at bench.py scale —
+    the VERDICT r3 item-2 criterion: run_sequence throughput within 10%
+    of the bench number at equal subset count."""
+    from correlation_tpu.config import (
+        FittingModel, Interpolation, PyramidConfig, SolverConfig,
+    )
+    from correlation_tpu.domains import rectangular_points
+    from correlation_tpu.sequence import SequenceConfig, run_sequence
+    from correlation_tpu.utils.profiling import SolveMeter
+
+    img_hw, half = 1024, 10
+    spk = _speckle(img_hw, img_hw, seed=3)
+    frames = [
+        spk.warped_image(u=0.31 * t, v=-0.22 * t, quantize=True)[..., None]
+        for t in range(n_frames)
+    ]
+    solver = SolverConfig(
+        model=FittingModel.AFFINE,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 2),
+        max_iterations=8,
+        precision=1e-12,  # fixed work, same semantics as bench.py
+    )
+    cfg = SequenceConfig(solver=solver)
+    side = int(np.ceil(np.sqrt(num_subsets)))
+    margin = 6 * half
+    coords = np.linspace(margin, img_hw - margin, side)
+    pts = []
+    for cy in coords:
+        for cx in coords:
+            if len(pts) == num_subsets:
+                break
+            pts.append(rectangular_points(int(cx), int(cy), half, half))
+    run_sequence(frames, pts, cfg)  # compile warmup, identical shape
+    meter = SolveMeter()
+    records = run_sequence(frames, pts, cfg, meter=meter)
+    drift = records[-1].params.mean(axis=0)
+    _emit(4, "dense_sequence_subset_solves_per_s", meter.solves_per_s,
+          "solves/s", frames=len(records), sectors=len(pts),
+          frame_chunk=cfg.frame_chunk,
           final_u=round(float(drift[0]), 3),
           final_v=round(float(drift[1]), 3))
 
@@ -440,7 +486,7 @@ def main():
         1: config1,
         2: lambda: config2(args.subsets or 1024),
         3: config3,
-        4: config4,
+        4: lambda: (config4(), config4b()),
         5: lambda: (config5(args.subsets or 10240), config5b()),
     }
     targets = [args.config] if args.config else sorted(fns)

@@ -714,7 +714,24 @@ def _correlate_frames_jit(
         (p_seed, prev_seed, chi_seed, it_seed),
         jnp.arange(k, dtype=jnp.int32),
     )
-    return carry, ys
+    # One packed f32 output so the host fetches the whole chunk's results
+    # in a SINGLE transfer — each device->host readback through a
+    # tunneled PJRT plugin costs a fixed ~tens-of-ms round trip, so five
+    # separate fetches per chunk would eat the chunk amortization.
+    params, guess, chi, iters, error = ys
+    # `guess` is excluded: the host reproduces it bit-exactly from the
+    # chained params (p + (p - p_prev), pure f32 adds), so it need not
+    # ride the (serialized, high-latency) device->host transfer.
+    packed = jnp.concatenate(
+        [
+            params,
+            chi[..., None],
+            iters.astype(jnp.float32)[..., None],
+            error.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # [K, S, NP + 3]
+    return carry, ys, packed
 
 
 def correlate_frames(
@@ -787,12 +804,12 @@ def correlate_frames(
         jnp.zeros((s,), jnp.int32) if it_seed is None
         else jnp.asarray(it_seed, jnp.int32)
     )
-    carry, ys = _correlate_frames_jit(
+    carry, ys, packed = _correlate_frames_jit(
         cfg,
         statics,
         reference_first,
         stop_frame,
-        jnp.asarray(frames_stack),
+        frames_stack,
         xy,
         mask,
         center0,
@@ -810,6 +827,7 @@ def correlate_frames(
         "chi": chi,
         "iterations": iters,
         "error": error,
+        "packed": packed,  # [K, S, NP+3]: one-transfer host fetch
         "carry": carry,
         "center0": center0,
         "n_points0": jnp.sum(mask[0], axis=-1).astype(jnp.int32),
@@ -899,6 +917,39 @@ def _backend_uses_pallas(backend: str) -> bool:
 _INTEGRAL_CACHE: dict = {}
 
 
+def _prime_integral_cache(arrays) -> None:
+    """Compute integrality verdicts for several arrays in ONE dispatch +
+    ONE readback (each np.asarray through a tunneled plugin costs a fixed
+    round trip; checking pyramid levels serially costs 3x that)."""
+    import weakref
+
+    fresh = []
+    seen = set()
+    for a in arrays:
+        if isinstance(a, np.ndarray) or id(a) in seen:
+            continue
+        hit = _INTEGRAL_CACHE.get(id(a))
+        if hit is not None and hit[0]() is a:
+            continue
+        seen.add(id(a))
+        fresh.append(a)
+    if not fresh:
+        return
+    vals = np.asarray(
+        jnp.stack(
+            [
+                jnp.all((jnp.floor(a) == a) & (a >= 0.0) & (a <= 256.0))
+                for a in fresh
+            ]
+        )
+    )
+    for a, v in zip(fresh, vals):
+        try:
+            _INTEGRAL_CACHE[id(a)] = (weakref.ref(a), bool(v))
+        except TypeError:
+            pass
+
+
 def _image_is_integral(a) -> bool:
     """True when every value of `a` is an integer in [0, 256] (all such
     values are exact in a single bfloat16)."""
@@ -951,6 +1002,11 @@ def compute_level_statics(
     gram = os.environ.get("CORRTPU_GRAM", "unit")
     slack = bool(int(os.environ.get("CORRTPU_SLACK", "0")))
     sel = os.environ.get("CORRTPU_SEL", "batched")
+    if not sep:
+        _prime_integral_cache(
+            def_pyramid[lvl]
+            for lvl in cfg.pyramid.levels_coarse_to_fine()
+        )
     out = []
     for lvl in cfg.pyramid.levels_coarse_to_fine():
         if subsets.extents is not None:

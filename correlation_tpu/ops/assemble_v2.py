@@ -830,6 +830,24 @@ def dma_width(tile_w: int) -> int:
 # (choose_block subtracts this from its working-set budget).
 IMG_VMEM_BUDGET = 6 * 1024 * 1024
 
+# Mosaic's default scoped-vmem limit is 16 MB, but a v5e has 128 MB of
+# physical VMEM (verified: a 95 MB working set runs on this chip).  The
+# raised limit turns choose_block's static working-set estimate — which
+# cannot model Mosaic's liveness exactly — from an OOM cliff into a
+# block-size tuning knob with 4-5x headroom.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _make_compiler_params():
+    from jax.experimental.pallas import tpu as _tpu
+
+    if hasattr(_tpu, "CompilerParams"):
+        return _tpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return _tpu.TPUCompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+_COMPILER_PARAMS = _make_compiler_params()
+
 
 def prepared_img_bytes(img_h: int, img_w: int, channels: int,
                        tile_w: int) -> int:
@@ -1145,6 +1163,7 @@ def fused_assemble(
             out_shape=out_shape,
             cost_estimate=cost,
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(origins.reshape(-1), pixdata, scal, org_body, img)
     else:
         out = pl.pallas_call(
@@ -1161,6 +1180,7 @@ def fused_assemble(
             ],
             cost_estimate=cost,
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
         )(pixdata, scal, org_body, tiles)
 
     a_mat = out[:s, :num_p, :num_p]

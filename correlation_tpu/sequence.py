@@ -36,7 +36,7 @@ from correlation_tpu.config import (
 )
 from correlation_tpu.domains import SubsetBatch, make_batch
 from correlation_tpu.engine import correlate
-from correlation_tpu.models.warp import rotation_angle, warp_points
+from correlation_tpu.models.warp import warp_points
 from correlation_tpu.ops.pyramid import build_pyramid
 
 
@@ -301,10 +301,7 @@ def update_results(
     # def center: the warp applied to the sector center about itself
     # (dx = dy = 0 -> pure u, v translation; manager_class.cpp:2404-2413).
     state.def_center = und_center + _uv(params)
-    state.def_angle = (
-        np.asarray(rotation_angle(model, jnp.asarray(params)))
-        + state.und_angle
-    )
+    state.def_angle = _rotation_angle_np(model, params) + state.und_angle
     if state.und_contours is not None:
         # contour warped about the und GLOBAL center, all sectors in one
         # batched dispatch (manager_class.cpp:2404-2427)
@@ -325,6 +322,19 @@ def update_results(
     state.def_global_center = (
         (state.def_center * n[:, None]).sum(axis=0) / total
     ).astype(np.float32)
+
+
+def _rotation_angle_np(model: FittingModel, params: np.ndarray) -> np.ndarray:
+    """Host-side rotation angle (warp.rotation_angle is jnp-based, and a
+    per-frame device round-trip here would undo the chunked dispatch
+    amortization).  Formula: parameters.cpp:55-58."""
+    if model == FittingModel.UVQ:
+        return params[:, 2].astype(np.float32)
+    if model == FittingModel.AFFINE:
+        return np.arctan2(
+            params[:, 4] - params[:, 3], params[:, 2] + params[:, 5] + 2.0
+        ).astype(np.float32)
+    return np.zeros(params.shape[0], np.float32)
 
 
 def _uv(params: np.ndarray) -> np.ndarray:
@@ -531,89 +541,158 @@ def run_sequence(
             statics = None
         und0 = frame0_img if ref_first else None
 
-        frame = start_frame
-        while frame < total_pairs:
-            if should_stop is not None and should_stop():
-                save_ckpt(frame)
-                break
-            k = min(cfg.frame_chunk, total_pairs - frame)
+        # One compiled chunk shape per run: tail chunks pad by repeating
+        # the last frame (their extra solves are discarded) instead of
+        # recompiling a shorter scan.
+        k_shape = min(cfg.frame_chunk, total_pairs - start_frame)
+        num_p = solver.num_params
+
+        # Chunk-invariant values fetched ONCE (each np.asarray through a
+        # tunneled plugin costs a fixed round trip).
+        und_center = np.asarray(state.und_center, np.float32)
+        n_points = np.asarray(
+            jnp.sum(jnp.asarray(batch.mask[0]), axis=-1)
+        ).astype(np.int32)
+
+        import jax
+
+        def stage(frame):
+            """Build + start the async upload of a chunk's frame stack."""
+            k = min(k_shape, total_pairs - frame)
             base = (
                 und0 if ref_first
                 else np.asarray(frames[frame], np.float32)
             )
-            stack = np.stack(
-                [base]
-                + [
-                    np.asarray(frames[frame + j + 1], np.float32)
-                    for j in range(k)
-                ]
-            )
-            ctx = (
-                meter.measure(k * batch.num_subsets)
-                if meter is not None
-                else contextlib.nullcontext()
-            )
-            with ctx:
-                out = correlate_frames(
-                    solver,
-                    stack,
-                    batch,
-                    guess0=state.guess,
-                    reference_first=ref_first,
-                    stop_frame=stop_frame,
-                    first_chunk=(frame == 0),
-                    p_seed=state.params,
-                    prev_seed=state.prev_params,
-                    chi_seed=state.chi,
-                    it_seed=state.iterations,
-                    statics=statics,
+            def_frames = [
+                np.asarray(frames[frame + j + 1], np.float32)
+                for j in range(k)
+            ]
+            def_frames += [def_frames[-1]] * (k_shape - k)
+            return k, jax.device_put(np.stack([base] + def_frames))
+
+        # Pipelined chunk loop: chunk i+1 is DISPATCHED (seeded from chunk
+        # i's on-device carry — no host round trip in the dependency
+        # chain) before chunk i's results are fetched, so consecutive
+        # chunks' execution, the next stack upload, and the packed-result
+        # download all overlap.  STOP_ALL / cancellation discard the
+        # in-flight chunk (its frames are simply never emitted), matching
+        # the per-frame driver's truncation.
+        frame = start_frame  # next frame index to dispatch
+        staged = stage(frame)
+        pending = None  # (pframe, pk, out) dispatched, not yet fetched
+        carry = None  # device-side seed chain
+        halt = False
+        while pending is not None or (frame < total_pairs and not halt):
+            out = None
+            k = 0
+            if frame < total_pairs and not halt:
+                if should_stop is not None and should_stop():
+                    halt = True
+                    if pending is None:
+                        save_ckpt(frame)
+                else:
+                    k, stack = staged
+                    seeds = (
+                        dict(
+                            p_seed=state.params,
+                            prev_seed=state.prev_params,
+                            chi_seed=state.chi,
+                            it_seed=state.iterations,
+                        )
+                        if carry is None
+                        else dict(
+                            p_seed=carry[0],
+                            prev_seed=carry[1],
+                            chi_seed=carry[2],
+                            it_seed=carry[3],
+                        )
+                    )
+                    out = correlate_frames(
+                        solver,
+                        stack,
+                        batch,
+                        guess0=state.guess,
+                        reference_first=ref_first,
+                        stop_frame=stop_frame,
+                        first_chunk=(frame == 0),
+                        statics=statics,
+                        **seeds,
+                    )
+                    carry = out["carry"]
+                    # Stage the next chunk's frames while this one runs
+                    # (decode + host->device upload overlap the solve —
+                    # the reference's async prefetch,
+                    # manager_class.cpp:1438-1447).
+                    if frame + k < total_pairs:
+                        staged = stage(frame + k)
+            if pending is not None:
+                pframe, pk, pout = pending
+                ctx = (
+                    meter.measure(pk * batch.num_subsets)
+                    if meter is not None
+                    else contextlib.nullcontext()
                 )
-                params_k = np.asarray(out["params"])
-                guess_k = np.asarray(out["guess"])
-                chi_k = np.asarray(out["chi"])
-                it_k = np.asarray(out["iterations"])
-                err_k = np.asarray(out["error"])
-            und_center = np.asarray(out["center0"])
-            n_points = np.asarray(out["n_points0"])
-            stop_now = False
-            cancelled = False
-            emitted = 0
-            for j in range(k):
-                # Per-frame cooperative-cancel granularity (the chunk-start
-                # poll covers j == 0): un-emitted frames of a cancelled
-                # chunk are discarded, matching the per-frame driver.
-                if (
-                    j > 0
-                    and should_stop is not None
-                    and should_stop()
+                with ctx:
+                    # ONE device->host transfer for the chunk's results.
+                    packed = np.asarray(pout["packed"])
+                params_k = packed[..., :num_p]
+                chi_k = packed[..., num_p]
+                it_k = packed[..., num_p + 1].astype(np.int32)
+                err_k = packed[..., num_p + 2].astype(np.int32)
+                stop_now = False
+                cancelled = False
+                emitted = 0
+                for j in range(pk):
+                    # Per-frame cooperative-cancel granularity (the
+                    # dispatch-time poll covers j == 0): un-emitted frames
+                    # are discarded, matching the per-frame driver.
+                    if (
+                        j > 0
+                        and should_stop is not None
+                        and should_stop()
+                    ):
+                        cancelled = True
+                        break
+                    # Reproduce the in-scan guess chain on host (bit-exact
+                    # f32: p + (p - p_prev) / p; guess0 at frame 0) —
+                    # saves a third of the serialized result transfer.
+                    if pframe + j == 0:
+                        guess_j = state.guess.copy()
+                    elif ref_first:
+                        guess_j = state.params + (
+                            state.params - state.prev_params
+                        )
+                    else:
+                        guess_j = state.params.copy()
+                    if not (pframe + j == 0):
+                        state.prev_params = state.params.copy()
+                    emit(
+                        pframe + j, params_k[j], guess_j, chi_k[j],
+                        it_k[j], err_k[j], und_center, n_points,
+                    )
+                    emitted += 1
+                    any_error = bool(
+                        (err_k[j] != int(ErrorCode.NONE)).any()
+                    )
+                    if any_error and cfg.error_mode == ErrorMode.STOP_ALL:
+                        stop_now = True
+                        break
+                next_frame = pframe + emitted
+                if stop_now or cancelled or next_frame >= total_pairs or (
+                    checkpoint_path is not None
+                    and any(
+                        (pframe + j + 1) % max(checkpoint_every, 1) == 0
+                        for j in range(emitted)
+                    )
                 ):
-                    cancelled = True
-                    break
-                if not (frame + j == 0):
-                    state.prev_params = state.params.copy()
-                emit(
-                    frame + j, params_k[j], guess_k[j], chi_k[j],
-                    it_k[j], err_k[j], und_center, n_points,
-                )
-                emitted += 1
-                any_error = bool(
-                    (err_k[j] != int(ErrorCode.NONE)).any()
-                )
-                if any_error and cfg.error_mode == ErrorMode.STOP_ALL:
-                    stop_now = True
-                    break
-            next_frame = frame + emitted
-            if stop_now or cancelled or next_frame >= total_pairs or (
-                checkpoint_path is not None
-                and any(
-                    (frame + j + 1) % max(checkpoint_every, 1) == 0
-                    for j in range(emitted)
-                )
-            ):
-                save_ckpt(next_frame)
-            if stop_now or cancelled:
-                break
-            frame = next_frame
+                    save_ckpt(next_frame)
+                if stop_now or cancelled:
+                    return records  # in-flight chunk discarded
+            if out is not None:
+                pending = (frame, k, out)
+                frame += k
+            else:
+                pending = None
         return records
 
     for frame in range(start_frame, total_pairs):
