@@ -108,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint .npz path; resumes from it if present "
                          "and re-saves as the run advances")
+    ap.add_argument("--frame-chunk", type=int, default=16, metavar="K",
+                    help="Eulerian sequences: chain K frame solves per "
+                         "device dispatch (1 = per-frame; default 16)")
     ap.add_argument("--checkpoint-every", type=int, default=1,
                     metavar="N", help="save the checkpoint every N frame "
                     "pairs (default 1)")
@@ -143,6 +146,7 @@ def main(argv: list[str] | None = None) -> int:
         deformation=_DEFORM[args.deformation],
         reference=_REF[args.reference],
         error_mode=_ERRMODE[args.error_mode],
+        frame_chunk=args.frame_chunk,
     )
     stop = solver.pyramid.stop
 

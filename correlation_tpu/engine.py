@@ -191,7 +191,14 @@ def solve_level(
             )
 
     elif level.pixdata is not None:
+        import os
+
         from correlation_tpu.ops import assemble_v2 as v2
+
+        # Perf-forensics hook: truncate the kernel at a stage (see
+        # assemble_v2 `ablate`) to measure the engine's non-assembly
+        # floor.  Trace-time env read; NEVER set in production.
+        _ablate = os.environ.get("CORRTPU_ABLATE", "")
 
         def assemble(params):
             out = v2.fused_assemble(
@@ -214,6 +221,7 @@ def solve_level(
                 group=static.group,
                 sel_mode=static.sel,
                 tile_src=static.tsrc,
+                ablate=_ablate,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 

@@ -776,7 +776,15 @@ def run_sequence_from_files(
     mark of simultaneously cached decoded frames."""
     from correlation_tpu.io import FramePrefetcher
 
-    prefetcher = FramePrefetcher(paths, monochrome=monochrome)
+    # The chunked Eulerian driver stages frame_chunk frames at a time, so
+    # decode that far ahead (per-frame drivers still work with any depth).
+    ahead = max(
+        2,
+        cfg.frame_chunk + 1
+        if cfg.deformation == DeformationDescription.EULERIAN
+        else 2,
+    )
+    prefetcher = FramePrefetcher(paths, monochrome=monochrome, ahead=ahead)
 
     class _LazyFrames:
         def __len__(self):
