@@ -88,7 +88,7 @@ def _level_extents(xs, ms) -> list[tuple[int, int]]:
     return out
 
 
-def _level_group_extents(xs, ms, groups=(2, 4)) -> list[dict]:
+def _level_group_extents(xs, ms, groups=(2, 3, 4, 6, 8, 12, 16)) -> list[dict]:
     """Per level: {G: max UNION span of G consecutive subsets}.
 
     Used to decide lane packing: G small subsets share one kernel unit

@@ -111,6 +111,9 @@ class LevelStatic(NamedTuple):
     # Tile source: "vmem" = whole level image VMEM-resident (no DMA),
     # "dma" = double-buffered per-unit async copies (images too big).
     tsrc: str = "dma"
+    # Tight packing: per-subset lane quota (multiple of 8; 0 = one
+    # subset per 128-lane multiple, the legacy layout).
+    p_sub: int = 0
 
 
 class LevelResult(NamedTuple):
@@ -222,6 +225,7 @@ def solve_level(
                 sel_mode=static.sel,
                 tile_src=static.tsrc,
                 ablate=_ablate,
+                p_sub=static.p_sub,
             )
             return out.a_mat, out.b_vec, out.chi, out.err
 
@@ -482,7 +486,8 @@ def prepare_levels(
             )
         else:
             pixdata = v2.pack_pixdata(
-                xy, mask, und_w, center, group=statics[lvl].group
+                xy, mask, und_w, center, group=statics[lvl].group,
+                p_sub=statics[lvl].p_sub or None,
             )
             out[lvl] = LevelArrays(
                 xy,
@@ -1040,6 +1045,7 @@ def compute_level_statics(
         block = 0
         parts = 3
         group = 1
+        p_sub = 0
         tsrc = "dma"
         img_bytes = 0
         if not sep:
@@ -1066,46 +1072,73 @@ def compute_level_statics(
                 parts = 1
             if env_parts:
                 parts = int(env_parts)
-            # Lane packing: when a subset's pixel lanes fill only a
-            # fraction of the vector width (up to 1024 lanes = 8 vregs),
-            # pack G consecutive subsets per kernel unit IF their union
-            # tiles stay compact (dense grids / ordered sectors) — the
-            # kernel's per-unit serial work then covers G subsets.
+            # TIGHT lane packing: pack G consecutive subsets per kernel
+            # unit at an 8-lane per-subset quota (instead of one subset
+            # per 128-lane multiple) — a 40-pixel coarse-level subset
+            # then occupies 40 lanes, not 128, so the kernel's
+            # per-lane-proportional stages do ~3x less work.  Candidates
+            # are scored by the dominant per-subset cost proxy
+            # tile_w_union * lanes / G (column-weight build + selection
+            # width), with absolute caps rejecting runaway union tiles
+            # (scattered sectors).
             gx = subsets.group_extents
-            for g_try in (4, 2):
-                if (
-                    p_pad * g_try <= 1024
-                    and gx is not None
-                    and g_try in gx[lvl]
-                    and s % (g_try * max(shard_divisor, 1)) == 0
-                ):
-                    uy, ux = gx[lvl][g_try]
-                    th_u, tw_u = choose_tile(uy, ux, hp, wp, cfg.tile_margin)
-                    # Worth packing only while the union tile stays near
-                    # the per-subset tile scale (compact groups).
-                    if tw_u <= max(2 * tw, 64) and th_u <= max(2 * th, 64):
-                        b_u = choose_block(
-                            th_u, tw_u, p_pad * g_try, channels,
-                            tile_parts=parts, img_bytes=img_bytes,
-                        )
-                        if b_u:
-                            group, th, tw, block = g_try, th_u, tw_u, b_u
-                            break
-            if group == 1:
-                block = choose_block(th, tw, p_pad, channels,
-                                     tile_parts=parts,
-                                     img_bytes=img_bytes)
+            quota = -(-int(mask.shape[1]) // 8) * 8
+            base_block = choose_block(
+                th, tw, p_pad, channels,
+                tile_parts=parts, img_bytes=img_bytes,
+            )
+            # Per-subset cost proxy: the lane-proportional stages
+            # (column-weight build + selection width) ~ tile_w * lanes/G,
+            # plus a fixed per-UNIT cost (tile slice, batched-op slots)
+            # empirically worth ~_UNIT_FIX column-lane units — it is what
+            # makes grouping win even when packing saves no lanes (L1:
+            # 121-px subsets already fill their 128-lane quota, yet G=4
+            # measured ~2x faster than G=1 in r03/r04 chains).
+            _UNIT_FIX = 8192
+            p_sub = 0
+            best = (
+                (tw * p_pad + _UNIT_FIX, 1, 0, p_pad, th, tw, base_block)
+                if base_block
+                else None
+            )
+            for g_try in (16, 12, 8, 6, 4, 3, 2):
+                if gx is None or g_try not in gx[lvl]:
+                    continue
+                if s % (g_try * max(shard_divisor, 1)):
+                    continue
+                lanes = -(-(g_try * quota) // 128) * 128
+                if lanes > 1024:
+                    continue
+                uy, ux = gx[lvl][g_try]
+                th_u, tw_u = choose_tile(uy, ux, hp, wp, cfg.tile_margin)
+                if th_u > 96 or tw_u > 128:
+                    continue
+                b_u = choose_block(
+                    th_u, tw_u, lanes, channels,
+                    tile_parts=parts, img_bytes=img_bytes,
+                )
+                if not b_u:
+                    continue
+                score = (tw_u * lanes + _UNIT_FIX) / g_try
+                if best is None or score < best[0]:
+                    best = (score, g_try, quota, lanes, th_u, tw_u, b_u)
+            if best is not None:
+                _, group, p_sub, _, th, tw, block = best
+            else:
+                block = 0
             if block == 0:
                 # The kernel working set exceeds VMEM even at the minimum
                 # block (huge subsets/tiles): run this level via the pure-
                 # XLA separable-tiles backend instead of OOMing Mosaic.
                 use_sep = True
                 group = 1
+                p_sub = 0
         if env_group and not sep:
             want = int(env_group)
             if want == 1 and group != 1:
                 # Force packing off: recompute single-subset tile/block.
                 group = 1
+                p_sub = 0
                 th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
                 p_pad = -(-int(mask.shape[1]) // 128) * 128
                 block = choose_block(
@@ -1116,7 +1149,7 @@ def compute_level_statics(
             block = min(int(os.environ["CORRTPU_BLOCK"]), block)
         out.append(
             (lvl, LevelStatic(th, tw, h, w, block, use_sep, parts, gram,
-                              slack, group, sel, tsrc))
+                              slack, group, sel, tsrc, p_sub))
         )
     return tuple(out)
 

@@ -175,6 +175,7 @@ def _make_kernel(
     sel_mode: str = "batched",
     tile_src: str = "dma",
     ablate: str = "",
+    p_sub: int = 0,
 ):
     """Build the Pallas kernel body for a block of `block` subsets.
 
@@ -399,11 +400,13 @@ def _make_kernel(
             p = [params_ref[:, k : k + 1] for k in range(6)]  # [B, 1] bcast
         else:
             # G packed subsets per unit: lane block g belongs to subset g
-            # of the unit, with its own parameters.
-            p_sub = p_pad // group
+            # of the unit, with its own parameters.  p_sub is the
+            # per-subset lane quota (tight packing: any multiple of 8;
+            # lanes >= group*p_sub are dead tail).
+            quota = p_sub if p_sub else p_pad // group
             glane = (
                 jax.lax.broadcasted_iota(jnp.int32, (block, p_pad), 1)
-                // p_sub
+                // quota
             )
             gmasks = [(glane == g).astype(f32) for g in range(group)]
             p = [
@@ -465,7 +468,7 @@ def _make_kernel(
         # part when integral; 8 bits of mantissa per extra part otherwise).
         # Integral images: the selected values are integers 0..255, exact
         # in bf16 — sel stores them at half the VMEM.
-        if sel_mode == "batched":
+        if sel_mode in ("batched", "direct"):
             # One batched dot_general serves the whole block — Mosaic
             # lowers the batch dim natively, replacing `block` separate
             # matmul issues (plus their per-subset slice/concat chains).
@@ -480,10 +483,15 @@ def _make_kernel(
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=f32,
             )  # [B, taps*W, P]
-            sel_ref[:] = (
-                picked.astype(jnp.bfloat16) if tile_parts == 1 else picked
-            )
+            sel_direct = picked if sel_mode == "direct" else None
+            if sel_mode != "direct":
+                sel_ref[:] = (
+                    picked.astype(jnp.bfloat16)
+                    if tile_parts == 1
+                    else picked
+                )
         else:  # "loop": one dot per subset
+            sel_direct = None
             for b in range(block):
                 o3 = (
                     jnp.concatenate([onehot[b]] * tile_parts, axis=0)
@@ -503,15 +511,22 @@ def _make_kernel(
                 )
 
         if ablate == "to_sel":
+            probe = (
+                sel_direct[0, :8, :128]
+                if sel_direct is not None
+                else sel_ref[0, :8, :128].astype(f32)
+            )
             out_ref[:] = jnp.full(
-                (block * group, 8, 8),
-                jnp.sum(sel_ref[0, :8, :128].astype(f32)),
-                f32,
+                (block * group, 8, 8), jnp.sum(probe), f32
             )
             return
 
         # ---- tap-row combination (batched, lanes = pixels) ----------------
-        sel = sel_ref[:].astype(f32)  # [B, taps*W, P]
+        sel = (
+            sel_direct
+            if sel_direct is not None
+            else sel_ref[:].astype(f32)
+        )  # [B, taps*W, P]
         tmp = ky[0][:, None, :] * sel[:, 0:w_all, :]
         tmp_d = dky[0][:, None, :] * sel[:, 0:w_all, :]
         for j in range(1, taps):
@@ -606,10 +621,16 @@ def _make_kernel(
                 fold_c = jax.lax.broadcasted_iota(
                     jnp.int32, (block, g8, 8), 2
                 )
-                fold = ((fold_r & 7) == fold_c).astype(f32)
+                fold = ((fold_r & 7) == fold_c).astype(jnp.bfloat16)
+                # Mosaic lowers f32xf32 dots at reduced precision here;
+                # splitting the lhs into three exact bf16 parts against
+                # the 0/1 rhs keeps the fold exact (hardware-verified —
+                # the unsplit form loses ~1e-2 relative on the Gram).
+                m1, m2, m3 = _split3_bf16(gg * diag)
+                lhs = jnp.concatenate([m1, m2, m3], axis=2)
                 folded = jax.lax.dot_general(
-                    gg * diag,
-                    fold,
+                    lhs,
+                    jnp.concatenate([fold] * 3, axis=1),
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=f32,
                 )  # [B, G8, 8]
@@ -724,13 +745,20 @@ def subset_bbox(xy: jax.Array, mask: jax.Array) -> jax.Array:
     )
 
 
-def pack_pixdata(xy, mask, und_w, center, group: int = 1) -> jax.Array:
-    """Build the packed [S/G, 8, G*P_pad] pixel array (pixels on lanes).
+def pack_pixdata(xy, mask, und_w, center, group: int = 1,
+                 p_sub: int | None = None) -> jax.Array:
+    """Build the packed [S/G, 8, lanes] pixel array (pixels on lanes).
 
     und_w: [S, P] or [S, P, C] with C <= 3 (channels land in rows 5..7).
     group: pack G consecutive subsets into one kernel unit — their pixel
-      lanes concatenate (subset g of a unit owns lanes [g*P_pad,
-      (g+1)*P_pad)); requires S % G == 0.
+      lanes concatenate (subset g of a unit owns lanes [g*p_sub,
+      (g+1)*p_sub)); requires S % G == 0.
+    p_sub: per-subset lane quota (>= P).  Default = P rounded up to 128
+      (one subset per vreg-width multiple); TIGHT packing passes a
+      smaller multiple of 8 so small subsets waste no lanes (e.g. 40-px
+      coarse-level subsets pack 16-to-640-lanes instead of 4-to-512).
+      The unit's total lanes round up to a multiple of 128; tail lanes
+      are dead (mask 0).
     """
     s, p = mask.shape
     if und_w.ndim == 2:
@@ -738,7 +766,10 @@ def pack_pixdata(xy, mask, und_w, center, group: int = 1) -> jax.Array:
     channels = und_w.shape[-1]
     if channels > 3:
         raise ValueError(f"at most 3 channels supported, got {channels}")
-    p_pad = -(-p // 128) * 128
+    if p_sub is None:
+        p_sub = -(-p // 128) * 128
+    if p_sub < p:
+        raise ValueError(f"p_sub {p_sub} < point count {p}")
     maskf = mask.astype(jnp.float32)
     und_rows = [und_w[..., c] for c in range(channels)]
     und_rows += [jnp.zeros_like(maskf)] * (3 - channels)
@@ -753,15 +784,18 @@ def pack_pixdata(xy, mask, und_w, center, group: int = 1) -> jax.Array:
         + und_rows,
         axis=1,
     )  # [S, 8, P]
-    out = jnp.zeros((s, 8, p_pad), jnp.float32)
+    out = jnp.zeros((s, 8, p_sub), jnp.float32)
     out = out.at[:, :, :p].set(rows)
     if group > 1:
         if s % group:
             raise ValueError(f"group {group} must divide S {s}")
-        out = out.reshape(s // group, group, 8, p_pad)
+        out = out.reshape(s // group, group, 8, p_sub)
         out = out.transpose(0, 2, 1, 3).reshape(
-            s // group, 8, group * p_pad
+            s // group, 8, group * p_sub
         )
+    lanes = -(-out.shape[-1] // 128) * 128
+    if lanes != out.shape[-1]:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, lanes - out.shape[-1])))
     return out
 
 
@@ -916,7 +950,7 @@ def prepare_image(img: jax.Array, tile_w: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnums=(
-        0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+        0, 1, 2, 3, 4, 5, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22,
     ),
 )
 def fused_assemble(
@@ -942,6 +976,7 @@ def fused_assemble(
     sel_mode: str = "batched",
     tile_src: str = "auto",
     ablate: str = "",
+    p_sub: int = 0,
 ) -> FusedAssembly:
     """Run the fused v2 assembly over all subsets.
 
@@ -981,10 +1016,13 @@ def fused_assemble(
         over tile_h + 8 rows instead).
       group: lane packing — G consecutive subsets share one kernel unit
         (pixdata pre-packed with pack_pixdata(group=G), tile dims covering
-        the G-subset UNION).  Small subsets (coarse pyramid levels) whose
-        P_pad fills only a fraction of the 512-lane vector width pack
-        G = 512 // P_pad to a unit, dividing the kernel's per-unit serial
-        work (DMA + rolls + selection matmul issue) across G subsets.
+        the G-subset UNION), dividing the kernel's per-unit fixed work
+        across G subsets.
+      p_sub: per-subset lane quota for TIGHT packing (multiple of 8,
+        matching pack_pixdata's p_sub; 0 = legacy 128-multiple quota).
+        Small subsets then waste no lanes: a 40-px coarse-level subset
+        occupies 40 lanes instead of 128, tripling the useful work per
+        vector op.  Lanes beyond group*p_sub are dead tail (mask 0).
       sel_mode: row-selection matmul issue: "batched" = one batched
         dot_general for the whole block (default), "loop" = one dot per
         unit (the pre-round-4 form, kept for A/B).
@@ -1095,6 +1133,7 @@ def fused_assemble(
         sel_mode=sel_mode,
         tile_src=tile_src,
         ablate=ablate,
+        p_sub=p_sub,
     )
     flops = u_pad * (
         2 * (taps * w_all) * tile_parts * th_body * p_pad

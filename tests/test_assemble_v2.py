@@ -314,3 +314,61 @@ def test_lane_packed_groups_match_ungrouped():
     np.testing.assert_allclose(out.b_vec, ref.b_vec, rtol=2e-4, atol=1e-1)
     np.testing.assert_allclose(out.chi, ref.chi, rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.err), np.asarray(ref.err))
+
+
+def test_tight_lane_packing_matches_legacy():
+    """Tight packing (p_sub = 8-lane per-subset quota) must reproduce the
+    legacy one-subset-per-128-lane layout: same per-subset A/b/chi/err."""
+    import jax.numpy as jnp
+
+    from correlation_tpu.config import FittingModel, Interpolation
+    from correlation_tpu.ops import assemble_v2 as v2
+    from correlation_tpu.ops.interp import sample_integer
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(
+        np.floor(rng.uniform(0, 255, (200, 400, 1))).astype(np.float32)
+    )
+    pts, ctr = [], []
+    for r in range(4):
+        for c in range(12):
+            cx, cy = 20 + 8 * c, 30 + 24 * r
+            gx, gy = np.meshgrid(
+                np.arange(cx - 3, cx + 4), np.arange(cy - 3, cy + 4),
+                indexing="ij",
+            )
+            pts.append(np.stack([gx.ravel(), gy.ravel()], -1))
+            ctr.append((cx, cy))
+    xy = jnp.asarray(np.stack(pts).astype(np.float32))
+    mask = jnp.ones((48, 49), bool)
+    center = jnp.asarray(np.array(ctr, np.float32))
+    params = jnp.asarray(rng.normal(0, 0.02, (48, 6)).astype(np.float32))
+    und_w = sample_integer(img, xy) * mask[..., None]
+    bbox = v2.subset_bbox(xy, mask)
+    ref = v2.fused_assemble(
+        FittingModel.AFFINE, Interpolation.BICUBIC, 24, 24, 200, 400, img,
+        v2.pack_pixdata(xy, mask, und_w, center), center, params, bbox, 8,
+        interpret=True,
+    )
+    assert not bool(np.asarray(ref.err).any())
+    for g, tw, quota in ((2, 32, 56), (3, 40, 56), (6, 64, 56)):
+        pix = v2.pack_pixdata(
+            xy, mask, und_w, center, group=g, p_sub=quota
+        )
+        assert pix.shape[-1] % 128 == 0
+        o = v2.fused_assemble(
+            FittingModel.AFFINE, Interpolation.BICUBIC, tw, tw, 200, 400,
+            img, pix, center, params, bbox, 8,
+            interpret=True, group=g, p_sub=quota,
+        )
+        scale = float(jnp.max(jnp.abs(ref.a_mat)))
+        np.testing.assert_allclose(
+            np.asarray(o.a_mat), np.asarray(ref.a_mat),
+            atol=2e-6 * scale,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o.chi), np.asarray(ref.chi), rtol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o.err), np.asarray(ref.err)
+        )

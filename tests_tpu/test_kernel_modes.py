@@ -99,3 +99,54 @@ def test_default_auto_config_matches_r3_baseline():
     scale = max(np.abs(ref[0]).max(), 1.0)
     np.testing.assert_allclose(got[0], ref[0], atol=2e-5 * scale)
     np.testing.assert_array_equal(got[3], ref[3])
+
+
+def test_tight_packing_on_hardware():
+    """Tight lane packing (8-lane per-subset quotas) vs the legacy layout
+    on real TPU: ragged-quota one-hots, dead tail lanes, and per-group
+    Gram extraction must all lower correctly through Mosaic."""
+    import jax.numpy as jnp
+
+    from correlation_tpu.ops import assemble_v2 as v2
+    from correlation_tpu.ops.interp import sample_integer
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(
+        np.floor(rng.uniform(0, 255, (200, 400, 1))).astype(np.float32)
+    )
+    pts, ctr = [], []
+    for r in range(4):
+        for c in range(12):
+            cx, cy = 20 + 8 * c, 30 + 24 * r
+            gx, gy = np.meshgrid(
+                np.arange(cx - 3, cx + 4), np.arange(cy - 3, cy + 4),
+                indexing="ij",
+            )
+            pts.append(np.stack([gx.ravel(), gy.ravel()], -1))
+            ctr.append((cx, cy))
+    xy = jnp.asarray(np.stack(pts).astype(np.float32))
+    mask = jnp.ones((48, 49), bool)
+    center = jnp.asarray(np.array(ctr, np.float32))
+    params = jnp.asarray(rng.normal(0, 0.02, (48, 6)).astype(np.float32))
+    und_w = sample_integer(img, xy) * mask[..., None]
+    bbox = v2.subset_bbox(xy, mask)
+    ref = v2.fused_assemble(
+        MODEL, INTERP, 24, 24, 200, 400, img,
+        v2.pack_pixdata(xy, mask, und_w, center), center, params, bbox, 8,
+        tile_parts=1,
+    )
+    assert not bool(np.asarray(ref.err).any())
+    for g, tw in ((3, 40), (6, 64)):
+        pix = v2.pack_pixdata(xy, mask, und_w, center, group=g, p_sub=56)
+        o = v2.fused_assemble(
+            MODEL, INTERP, tw, tw, 200, 400, img, pix, center, params,
+            bbox, 8, tile_parts=1, group=g, p_sub=56,
+        )
+        scale = float(np.abs(np.asarray(ref.a_mat)).max())
+        np.testing.assert_allclose(
+            np.asarray(o.a_mat), np.asarray(ref.a_mat),
+            atol=2e-6 * scale,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o.err), np.asarray(ref.err)
+        )
