@@ -582,8 +582,7 @@ def correlate_prepared(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _correlate_frames_jit(
+def _correlate_frames_impl(
     cfg,
     statics,
     ref_first: bool,
@@ -593,7 +592,7 @@ def _correlate_frames_jit(
     mask,
     center0,
     guess0,  # [S, NP] override guess for scan step `override_step`
-    override_step,  # int32 scalar: -1 = никогда; 0 = first chunk
+    override_step,  # int32 scalar: -1 = never; 0 = first chunk
     p_seed,  # [S, NP] chained params entering the chunk
     prev_seed,  # [S, NP] params one frame earlier (const-velocity base)
     chi_seed,  # [S] previous chi (STOP_FRAME frozen-record values)
@@ -747,6 +746,43 @@ def _correlate_frames_jit(
     return carry, ys, packed
 
 
+_correlate_frames_jit = functools.partial(
+    jax.jit, static_argnums=(0, 1, 2, 3)
+)(_correlate_frames_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _correlate_frames_shardmap_fn(cfg, statics, ref_first, stop_frame,
+                                  mesh):
+    """jit(shard_map) over the chained multi-frame solve: each device runs
+    the full K-pair scan on its subset shard (pure data parallelism over
+    sectors — frames replicate, no collectives in the shard bodies)."""
+    from jax.sharding import PartitionSpec as P
+
+    from correlation_tpu.parallel.mesh import SUBSET_AXIS
+
+    rep, sub = P(), P(SUBSET_AXIS)
+    ksub = P(None, SUBSET_AXIS)  # [K, S, ...] outputs
+
+    def local(frames_stack, xy, mask, center0, guess0, override_step,
+              p_seed, prev_seed, chi_seed, it_seed):
+        return _correlate_frames_impl(
+            cfg, statics, ref_first, stop_frame, frames_stack, xy, mask,
+            center0, guess0, override_step, p_seed, prev_seed, chi_seed,
+            it_seed,
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(rep, sub, sub, sub, sub, rep, sub, sub, sub, sub),
+            out_specs=((sub, sub, sub, sub), (ksub,) * 5, ksub),
+            check_vma=False,
+        )
+    )
+
+
 def correlate_frames(
     cfg: SolverConfig,
     frames_stack,
@@ -761,6 +797,7 @@ def correlate_frames(
     chi_seed=None,
     it_seed=None,
     statics=None,
+    mesh=None,
 ) -> dict:
     """Chained Eulerian multi-frame solve (one dispatch for K pairs).
 
@@ -777,6 +814,10 @@ def correlate_frames(
       first_chunk: this chunk starts the sequence (step 0 uses guess0).
       p_seed/prev_seed/chi_seed/it_seed: chained state entering the chunk
         (from the previous chunk's outputs); default zeros.
+      mesh: optional jax.sharding.Mesh — the subset axis shards across
+        it (frames replicate; each device scans its shard).  Caller-
+        provided statics must have been computed with
+        shard_divisor=mesh.devices.size.
 
     Returns dict with stacked per-frame arrays: params, guess, chi,
     iterations, error ([K, ...]) and the carry for the next chunk.
@@ -784,6 +825,13 @@ def correlate_frames(
     frames_stack = jnp.asarray(frames_stack)
     num_colors = int(frames_stack.shape[-1])
     backend = resolve_backend(cfg, num_colors)
+    if (
+        cfg.backend == "auto"
+        and backend == "pallas"
+        and mesh is not None
+        and mesh.devices.flat[0].platform != "tpu"
+    ):
+        backend = "xla_sep"
     if statics is None and backend != "xla":
         # Statics (tile dims, integrality) come from the chunk's base
         # frame and are assumed uniform across the sequence (uint8
@@ -792,12 +840,57 @@ def correlate_frames(
         from correlation_tpu.ops.pyramid import build_pyramid
 
         pyr0 = build_pyramid(frames_stack[0], cfg.pyramid.stop)
-        statics = compute_level_statics(cfg, subsets, pyr0, backend)
+        statics = compute_level_statics(
+            cfg, subsets, pyr0, backend,
+            shard_divisor=(mesh.devices.size if mesh is not None else 1),
+        )
+    orig_s = subsets.num_subsets
+    if mesh is not None:
+        from correlation_tpu.parallel.mesh import (
+            pad_to_mesh,
+            replicate,
+            shard_inputs,
+        )
+
+        guess0 = np.asarray(guess0, np.float32)
+        subsets = pad_to_mesh(subsets, mesh)
+        pad_n = subsets.num_subsets - orig_s
+
+        def _pad_s(a):
+            if a is None:
+                return None
+            a = np.asarray(a)
+            return np.pad(a, [(0, pad_n)] + [(0, 0)] * (a.ndim - 1))
+
+        guess0 = _pad_s(guess0)
+        p_seed = _pad_s(p_seed)
+        prev_seed = _pad_s(prev_seed)
+        chi_seed = _pad_s(chi_seed)
+        it_seed = _pad_s(it_seed)
+        xy, mask, center0, guess0 = shard_inputs(mesh, subsets, guess0)
+        frames_stack = replicate(mesh, frames_stack)
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        from correlation_tpu.parallel.mesh import SUBSET_AXIS
+
+        _sh = NamedSharding(mesh, _P(SUBSET_AXIS))
+
+        def _put(a, dtype):
+            return (
+                None if a is None
+                else jax.device_put(np.asarray(a, dtype), _sh)
+            )
+
+        p_seed = _put(p_seed, np.float32)
+        prev_seed = _put(prev_seed, np.float32)
+        chi_seed = _put(chi_seed, np.float32)
+        it_seed = _put(it_seed, np.int32)
+    else:
+        xy = [jnp.asarray(a) for a in subsets.xy]
+        mask = [jnp.asarray(a) for a in subsets.mask]
+        center0 = jnp.asarray(subsets.center0)
+        guess0 = jnp.asarray(guess0, jnp.float32)
     s = subsets.num_subsets
-    xy = [jnp.asarray(a) for a in subsets.xy]
-    mask = [jnp.asarray(a) for a in subsets.mask]
-    center0 = jnp.asarray(subsets.center0)
-    guess0 = jnp.asarray(guess0, jnp.float32)
     if first_chunk:
         # Seeding p = prev = guess reproduces the host chain exactly:
         # guess_1 = p0 + (p0 - guess0) (manager_class.cpp:2677-2686 with
@@ -817,22 +910,35 @@ def correlate_frames(
         jnp.zeros((s,), jnp.int32) if it_seed is None
         else jnp.asarray(it_seed, jnp.int32)
     )
-    carry, ys, packed = _correlate_frames_jit(
-        cfg,
-        statics,
-        reference_first,
-        stop_frame,
-        frames_stack,
-        xy,
-        mask,
-        center0,
-        guess0,
-        override,
-        p_seed,
-        prev_seed,
-        chi_seed,
-        it_seed,
-    )
+    if mesh is not None and _backend_uses_pallas(backend):
+        fn = _correlate_frames_shardmap_fn(
+            cfg, statics, reference_first, stop_frame, mesh
+        )
+        carry, ys, packed = fn(
+            frames_stack, xy, mask, center0, guess0, override,
+            p_seed, prev_seed, chi_seed, it_seed,
+        )
+    else:
+        carry, ys, packed = _correlate_frames_jit(
+            cfg,
+            statics,
+            reference_first,
+            stop_frame,
+            frames_stack,
+            xy,
+            mask,
+            center0,
+            guess0,
+            override,
+            p_seed,
+            prev_seed,
+            chi_seed,
+            it_seed,
+        )
+    if subsets.num_subsets != orig_s:
+        ys = tuple(a[:, :orig_s] for a in ys)
+        packed = packed[:, :orig_s]
+        carry = tuple(a[:orig_s] for a in carry)
     params, guess, chi, iters, error = ys
     return {
         "params": params,

@@ -513,7 +513,6 @@ def run_sequence(
 
     chunked = (
         cfg.deformation == DeformationDescription.EULERIAN
-        and mesh is None
         and cfg.frame_chunk > 1
         and total_pairs - start_frame > 1
     )
@@ -532,10 +531,18 @@ def run_sequence(
         stop_frame = cfg.error_mode == ErrorMode.STOP_FRAME
         frame0_img = np.asarray(frames[0], np.float32)
         backend = resolve_backend(solver, int(frame0_img.shape[-1]))
+        if (
+            solver.backend == "auto"
+            and backend == "pallas"
+            and mesh is not None
+            and mesh.devices.flat[0].platform != "tpu"
+        ):
+            backend = "xla_sep"
         if backend != "xla":
             statics = compute_level_statics(
                 solver, batch, build_pyramid(jnp.asarray(frame0_img), stop),
                 backend,
+                shard_divisor=(mesh.devices.size if mesh is not None else 1),
             )
         else:
             statics = None
@@ -616,6 +623,7 @@ def run_sequence(
                         stop_frame=stop_frame,
                         first_chunk=(frame == 0),
                         statics=statics,
+                        mesh=mesh,
                         **seeds,
                     )
                     carry = out["carry"]
