@@ -397,3 +397,28 @@ def test_chunked_matches_per_frame():
             )
             assert a.und_e is not None and a.def_e is not None
             np.testing.assert_array_equal(a.und_e, b.und_e)
+
+
+def test_chunked_color_matches_per_frame():
+    """RGB sequences through the chunked driver: 3-channel pixdata rows,
+    per-channel Gram accumulation, and the in-scan pyramid builds must
+    match the per-frame path."""
+    du, dv = 0.55, -0.35
+    spk = Speckle(80, 80, seed=13)
+    frames = []
+    for t in range(4):
+        g = spk.warped_image(u=du * t, v=dv * t, quantize=True)
+        rgb = np.stack([g, np.roll(g, 1, 0), np.roll(g, 1, 1)], -1)
+        frames.append(rgb.astype(np.float32))
+    pts = [_grid_pts(25, 25, 55, 55)]
+    kw = dict(
+        deformation=DeformationDescription.EULERIAN,
+        reference=ReferenceImage.FIRST,
+    )
+    rc = run_sequence(frames, pts, _cfg(frame_chunk=3, **kw))
+    rp = run_sequence(frames, pts, _cfg(frame_chunk=1, **kw))
+    assert len(rc) == len(rp) == 3
+    for a, b in zip(rc, rp):
+        np.testing.assert_allclose(a.params, b.params, atol=1e-5)
+        np.testing.assert_array_equal(a.error, b.error)
+    np.testing.assert_allclose(rc[-1].params[0], [3 * du, 3 * dv], atol=0.1)
