@@ -133,12 +133,18 @@ def main():
     reps = 3
     # Chunk dispatches pipeline (rep i+1's dispatch overlaps rep i's
     # execution, as consecutive chunks do in a production run); the final
-    # readbacks bound the whole batch.
-    t0 = time.perf_counter()
-    results = [run() for _ in range(reps)]
-    for out in results:
-        sync(out)
-    dt = (time.perf_counter() - t0) / (reps * frame_chunk)
+    # readbacks bound the whole batch.  The tunneled chip shows transient
+    # congestion slumps of up to 3x between otherwise identical runs
+    # (PERF.md measurement discipline), so take the best of two passes.
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        results = [run() for _ in range(reps)]
+        for out in results:
+            sync(out)
+        dt = min(
+            dt, (time.perf_counter() - t0) / (reps * frame_chunk)
+        )
 
     solves_per_s = num_subsets / dt
     # Trust guard: a broken kernel must not post a fast number.  With

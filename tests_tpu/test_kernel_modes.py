@@ -136,16 +136,18 @@ def test_tight_packing_on_hardware():
         tile_parts=1,
     )
     assert not bool(np.asarray(ref.err).any())
-    for g, tw in ((3, 40), (6, 64)):
+    for g, tw, ts in (
+        (3, 40, "vmem"), (6, 64, "vmem"), (3, 40, "dma"), (6, 64, "dma"),
+    ):
         pix = v2.pack_pixdata(xy, mask, und_w, center, group=g, p_sub=56)
         o = v2.fused_assemble(
             MODEL, INTERP, tw, tw, 200, 400, img, pix, center, params,
-            bbox, 8, tile_parts=1, group=g, p_sub=56,
+            bbox, 8, tile_parts=1, group=g, p_sub=56, tile_src=ts,
         )
         scale = float(np.abs(np.asarray(ref.a_mat)).max())
         np.testing.assert_allclose(
             np.asarray(o.a_mat), np.asarray(ref.a_mat),
-            atol=2e-6 * scale,
+            atol=2e-6 * scale, err_msg=f"g={g} tile_src={ts}",
         )
         np.testing.assert_array_equal(
             np.asarray(o.err), np.asarray(ref.err)
