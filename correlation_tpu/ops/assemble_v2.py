@@ -893,7 +893,7 @@ def prepared_img_bytes(img_h: int, img_w: int, channels: int,
 
 def choose_block(
     tile_h: int, tile_w: int, p_pad: int, channels: int,
-    vmem_budget: int = 24 * 1024 * 1024,
+    vmem_budget: int = 32 * 1024 * 1024,
     tile_parts: int = 3,
     img_bytes: int = 0,
 ) -> int:
