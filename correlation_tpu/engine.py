@@ -489,6 +489,18 @@ def prepare_levels(
                 xy, mask, und_w, center, group=statics[lvl].group,
                 p_sub=statics[lvl].p_sub or None,
             )
+            # Pre-pad the unit axis to the grid's block multiple HERE:
+            # the pad is loop-invariant, but XLA re-executes it inside
+            # the LM while loop (~0.2 ms x 27 iterations per frame at
+            # bench scale) when left to fused_assemble.
+            blk = statics[lvl].block
+            if blk:
+                u = pixdata.shape[0]
+                u_pad = -(-u // blk) * blk
+                if u_pad != u:
+                    pixdata = jnp.pad(
+                        pixdata, ((0, u_pad - u), (0, 0), (0, 0))
+                    )
             out[lvl] = LevelArrays(
                 xy,
                 mask,

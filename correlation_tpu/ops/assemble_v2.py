@@ -1036,12 +1036,17 @@ def fused_assemble(
     Returns:
       FusedAssembly(A, b, chi, err) matching assemble_normal_equations.
     """
-    units, _, p_pad = pixdata.shape  # units = S // group; p_pad = total
+    units, _, p_pad = pixdata.shape  # units >= S // group; p_pad = total
     s = params.shape[0]
-    if s != units * group:
+    if s % group or s // group > units:
         raise ValueError(
-            f"params S={s} != pixdata units {units} * group {group}"
+            f"params S={s} incompatible with pixdata units {units} "
+            f"* group {group}"
         )
+    # pixdata may arrive PRE-PADDED to a block multiple (prepare_levels
+    # does this so the pad is not re-executed inside the LM while loop —
+    # it is loop-invariant but XLA does not hoist it past the kernel).
+    units_real = s // group
     num_p = params.shape[-1]
     channels = int(img.shape[0] if img_prepared else img.shape[-1])
     if interpret:
@@ -1105,8 +1110,11 @@ def fused_assemble(
         block = min(-(-block // 8) * 8, units)
     u_pad = -(-units // block) * block
     if u_pad != units:
-        grow = u_pad - units
-        pixdata = jnp.pad(pixdata, ((0, grow), (0, 0), (0, 0)))
+        pixdata = jnp.pad(
+            pixdata, ((0, u_pad - units), (0, 0), (0, 0))
+        )
+    if u_pad != units_real:
+        grow = u_pad - units_real
         params = jnp.pad(params, ((0, grow * group), (0, 0)))
         origins = jnp.pad(origins, ((0, grow), (0, 0)))
         org_body = jnp.pad(org_body, ((0, grow), (0, 0)))
