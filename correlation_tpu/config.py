@@ -136,6 +136,17 @@ class SolverConfig:
     # slack): warps that grow the subset span by more than this flag the
     # subset out-of-image.
     tile_margin: int = 8
+    # Straggler compaction (per-subset early stop on a batched device —
+    # the analog of the reference's free per-sector stop at
+    # correlation_class.cpp:580-585): the full-batch LM loop runs only
+    # until the still-active subsets fit 1/compact_factor of the batch,
+    # then they gather into a dense prefix and iteration continues on the
+    # smaller batch, repeated compact_stages times.  compact_min floors
+    # the capacity (compaction overhead beats assembly cost only above
+    # it).  compact_stages=0 disables (monolithic while_loop).
+    compact_stages: int = 3
+    compact_factor: int = 4
+    compact_min: int = 128
 
     @property
     def num_params(self) -> int:

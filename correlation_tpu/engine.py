@@ -136,44 +136,44 @@ class CorrelationResult(NamedTuple):
     n_points: jax.Array  # [S] int32 level-0 point counts
 
 
-class _LoopState(NamedTuple):
-    p_cur: jax.Array  # [S, NP] the reference's `model_parameters`
-    p_lastgood: jax.Array  # [S, NP]
+class _PackedState(NamedTuple):
+    """LM while-loop carry, PACKED into three tensors.
+
+    XLA's while-loop carry repacking re-emits every small [S] state array
+    per iteration (~0.35 ms/iter of slice_reduce fusions at S=4096 when
+    the carry held 13 separate arrays — PERF.md round-4 profile); packing
+    the per-subset scalars into one [6, S] row-major block (each field a
+    contiguous lane row) and fusing A/b into one tensor removes those
+    fusions.  All scalar fields live as f32 rows — iteration/reached/error
+    are small integers, exact in f32.
+    """
+
+    # rows: 0 lam, 1 last_good_chi, 2 iteration, 3 reached, 4 active,
+    #       5 error (see _SC_* constants)
+    scal: jax.Array  # [6, S] f32
+    # 0 = p_cur (the reference's `model_parameters`), 1 = p_lastgood
+    pmat: jax.Array  # [2, S, NP] f32
     # Cached normal equations AT p_lastgood — the assembly that accepted
     # them.  The reference's diverging branch re-launches the kernel at
     # last-good to rebuild exactly these (cuda_class.cu:183-200,
     # correlation_class.cpp:484-516); assembly is deterministic, so the
     # cache reproduces that recompute bit-for-bit at zero assemblies.
-    a_lg: jax.Array  # [S, NP, NP]
-    b_lg: jax.Array  # [S, NP]
-    lam: jax.Array  # [S]
-    last_good_chi: jax.Array  # [S]
-    iteration: jax.Array  # [S] int32 current 1-based iteration
-    reached: jax.Array  # [S] int32
-    active: jax.Array  # [S] bool
-    error: jax.Array  # [S] int32
+    # Rows 0..NP-1 = A, row NP = b.
+    ab: jax.Array  # [S, NP+1, NP] f32
     steps: jax.Array  # [] int32 global step counter (safety bound)
 
 
-def solve_level(
-    cfg: SolverConfig,
-    level: LevelArrays,
-    params0: jax.Array,
-    skip: jax.Array,
-    static: LevelStatic | None = None,
-) -> LevelResult:
-    """Run the LM iteration loop for one pyramid level over all subsets.
+_SC_LAM = 0
+_SC_CHI = 1
+_SC_ITER = 2
+_SC_REACH = 3
+_SC_ACTIVE = 4
+_SC_ERR = 5
 
-    Args:
-      cfg: solver configuration (static).
-      level: per-level arrays.
-      params0: [S, NP] initial guesses at this level's scale.
-      skip: [S] bool — subsets frozen by earlier failures; left untouched.
-      static: tile/image dims when the Pallas backend is active.
-    """
+
+def _make_assemble(cfg: SolverConfig, level: LevelArrays, static):
+    """Assembly closure for one level's arrays (any backend)."""
     model, interp = cfg.model, cfg.interpolation
-    s = params0.shape[0]
-    f32 = jnp.float32
 
     if static is not None and static.sep:
 
@@ -243,10 +243,12 @@ def solve_level(
                 params,
             )
 
-    # scaling = 1/N for numerical precision (correlation_class.cpp:402)
-    n_ok = level.n_points > 0
-    scaling = jnp.where(n_ok, 1.0 / jnp.maximum(level.n_points, 1.0), 0.0)
+    return assemble
 
+
+def _make_oob(cfg: SolverConfig, level: LevelArrays):
+    """MODEL vs INTERPOLATION out-of-image classifier for this level."""
+    s = level.center.shape[0]
     if level.bbox is not None and level.img_hw is not None:
         img_h, img_w = level.img_hw
 
@@ -280,6 +282,260 @@ def solve_level(
                 (s,), jnp.int32(ErrorCode.INTERPOLATION_OUT_OF_IMAGE)
             )
 
+    return oob_code
+
+
+def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
+    """One LM iteration over a (possibly compacted) subset batch."""
+    f32 = jnp.float32
+    prec = f32(cfg.precision)
+    lam_min = f32(cfg.lambda_min)
+    lam_max = f32(cfg.lambda_max)
+    lam_up = f32(cfg.lambda_up)
+    lam_down = f32(cfg.lambda_down)
+
+    def body(st: _PackedState) -> _PackedState:
+        # Every step is one reference iteration: assemble at the tentative
+        # parameters and compare chi.  A converging step computes the next
+        # update from this fresh assembly with the optimistic lambda
+        # (correlation_class.cpp:523); a diverging step reverts and
+        # computes it from the CACHED last-good assembly with the raised
+        # lambda — exactly what the reference's recompute pass rebuilds
+        # with a second kernel launch (correlation_class.cpp:484-516).
+        lam_c = st.scal[_SC_LAM]
+        last_good_chi = st.scal[_SC_CHI]
+        iteration = st.scal[_SC_ITER].astype(jnp.int32)
+        active = st.scal[_SC_ACTIVE] > 0.0
+        error_c = st.scal[_SC_ERR].astype(jnp.int32)
+        q = st.pmat[0]
+        p_lastgood_c = st.pmat[1]
+        a_lg = st.ab[:, :-1, :]
+        b_lg = st.ab[:, -1, :]
+
+        a_mat, b_vec, chi_raw, interp_err = assemble(q)
+        chi = chi_raw * scaling
+
+        err_now = active & interp_err
+
+        delta_chi = jnp.abs(
+            (last_good_chi - chi)
+            / (jnp.maximum(last_good_chi, chi) + prec)
+        )
+        converging = chi <= last_good_chi
+        lam_next = jnp.where(
+            converging,
+            jnp.maximum(lam_c * lam_down, lam_min),
+            jnp.minimum(lam_c * lam_up, lam_max),
+        )
+        conv_c = converging[:, None]
+        a_sel = jnp.where(conv_c[..., None], a_mat, a_lg)
+        b_sel = jnp.where(conv_c, b_vec, b_lg)
+        dp = lm_delta(a_sel, b_sel, lam_next, scaling)
+        p_new = jnp.where(conv_c, q, p_lastgood_c) + dp
+
+        # Singular damped system -> non-finite update: the reference's
+        # cuSolver failure (cuda_solver.cu:40-89).
+        solver_now = (
+            active & ~interp_err
+            & ~jnp.all(jnp.isfinite(dp), axis=-1)
+        )
+        stop_err = err_now | solver_now
+
+        do_step = active & ~stop_err
+        converged = delta_chi < prec
+        next_iter = iteration + 1
+        exhausted = (next_iter > cfg.max_iterations) | (lam_next >= lam_max)
+        step_stop = converged | exhausted
+
+        p_cur = jnp.where(
+            stop_err[:, None],
+            q,
+            jnp.where(do_step[:, None], p_new, q),
+        )
+        accept = do_step & converging
+        p_lastgood = jnp.where(accept[:, None], q, p_lastgood_c)
+        ab_new = jnp.where(
+            accept[:, None, None],
+            jnp.concatenate([a_mat, b_vec[:, None, :]], axis=1),
+            st.ab,
+        )
+        last_good_chi = jnp.where(accept, chi, last_good_chi)
+        lam = jnp.where(do_step, lam_next, lam_c)
+        iteration_n = jnp.where(do_step, next_iter, iteration)
+        reached = jnp.where(
+            do_step, iteration.astype(jnp.float32), st.scal[_SC_REACH]
+        )
+        active_n = active & ~stop_err & ~(do_step & step_stop)
+        error = jnp.where(
+            err_now,
+            oob_code(q),
+            jnp.where(
+                solver_now,
+                jnp.int32(ErrorCode.SOLVER),
+                jnp.where(
+                    do_step & exhausted & ~converged,
+                    jnp.int32(ErrorCode.MAX_ITERS_REACHED),
+                    error_c,
+                ),
+            ),
+        )
+        scal = jnp.stack(
+            [
+                lam,
+                last_good_chi,
+                iteration_n.astype(jnp.float32),
+                reached,
+                active_n.astype(jnp.float32),
+                error.astype(jnp.float32),
+            ]
+        )
+        return _PackedState(
+            scal=scal,
+            pmat=jnp.stack([p_cur, p_lastgood]),
+            ab=ab_new,
+            steps=st.steps + 1,
+        )
+
+    return body
+
+
+def _make_cond(max_steps: int, group: int, thresh_units: int):
+    """While condition: any subset active, the global step bound holds,
+    and (compaction stages only) the active set does NOT yet fit the next
+    stage's capacity."""
+
+    def cond(st: _PackedState):
+        act = st.scal[_SC_ACTIVE] > 0.0
+        go = jnp.any(act) & (st.steps < max_steps)
+        if thresh_units:
+            u_act = jnp.any(act.reshape(-1, group), axis=1)
+            go = go & (jnp.sum(u_act.astype(jnp.int32)) > thresh_units)
+        return go
+
+    return cond
+
+
+def _gather_level(level: LevelArrays, unit_idx, group: int) -> LevelArrays:
+    """Gather a LevelArrays down to the given kernel units (each unit =
+    `group` consecutive subsets).  Shared level images (def_field /
+    def_img) are untouched; per-subset/per-unit arrays gather."""
+    sub_idx = (
+        unit_idx[:, None] * group + jnp.arange(group, dtype=unit_idx.dtype)
+    ).reshape(-1)
+
+    def g(a):
+        return None if a is None else jnp.take(a, sub_idx, axis=0)
+
+    if level.pixdata is not None:
+        # Pallas path: the kernel consumes pixdata/center/bbox only (und
+        # intensities live inside pixdata) — skip the dead xy/mask/und_w
+        # gathers.
+        return level._replace(
+            xy=None,
+            mask=None,
+            und_w=None,
+            center=g(level.center),
+            n_points=g(level.n_points),
+            pixdata=jnp.take(level.pixdata, unit_idx, axis=0),
+            bbox=g(level.bbox),
+        )
+    return level._replace(
+        xy=g(level.xy),
+        mask=g(level.mask),
+        und_w=g(level.und_w),
+        center=g(level.center),
+        n_points=g(level.n_points),
+        bbox=g(level.bbox),
+    )
+
+
+def _gather_state(st: _PackedState, unit_idx, group: int) -> _PackedState:
+    sub_idx = (
+        unit_idx[:, None] * group + jnp.arange(group, dtype=unit_idx.dtype)
+    ).reshape(-1)
+    return _PackedState(
+        scal=st.scal[:, sub_idx],
+        pmat=st.pmat[:, sub_idx],
+        ab=st.ab[sub_idx],
+        steps=st.steps,
+    )
+
+
+def _scatter_state(
+    full: _PackedState, unit_idx, group: int, part: _PackedState
+) -> _PackedState:
+    sub_idx = (
+        unit_idx[:, None] * group + jnp.arange(group, dtype=unit_idx.dtype)
+    ).reshape(-1)
+    return _PackedState(
+        scal=full.scal.at[:, sub_idx].set(part.scal),
+        pmat=full.pmat.at[:, sub_idx].set(part.pmat),
+        ab=full.ab.at[sub_idx].set(part.ab),
+        steps=part.steps,
+    )
+
+
+def _stage_caps(cfg: SolverConfig, s: int, group: int, blk: int) -> list:
+    """Compaction-stage capacities (in SUBSETS, descending).
+
+    Each capacity is a multiple of group*blk so gathered pixdata needs no
+    in-loop padding (units stay whole; the kernel grid stays a multiple of
+    its block)."""
+    if not cfg.compact_stages or cfg.compact_factor < 2:
+        return []
+    gran = max(group * max(blk, 1), 8)
+    caps = []
+    cap_prev = s
+    for _ in range(cfg.compact_stages):
+        target = max(cap_prev // cfg.compact_factor, cfg.compact_min)
+        cap = min(-(-target // gran) * gran, s)
+        if cap >= cap_prev:
+            break
+        caps.append(cap)
+        cap_prev = cap
+    return caps
+
+
+def solve_level(
+    cfg: SolverConfig,
+    level: LevelArrays,
+    params0: jax.Array,
+    skip: jax.Array,
+    static: LevelStatic | None = None,
+) -> LevelResult:
+    """Run the LM iteration loop for one pyramid level over all subsets.
+
+    Per-subset early stopping on a batched device: the reference stops each
+    sector individually for free (correlation_class.cpp:580-585); a batch-
+    wide while_loop instead burns full assemblies on already-converged
+    subsets until the LAST straggler finishes.  This driver runs a
+    COMPACTION CASCADE: the full-batch loop runs only until the still-
+    active subsets fit a fraction of the batch, then the active units
+    gather into a dense prefix (one device-side argsort + takes — no host
+    round trip, scan-compatible) and iteration continues on the smaller
+    batch; repeated for geometrically shrinking capacities.  Straggler
+    iterations then cost a fraction of a full assembly.  Per-subset
+    trajectories are bit-identical to the monolithic loop: every operation
+    is per-subset (or per-unit, and units gather whole), so order does not
+    enter the math.
+
+    Args:
+      cfg: solver configuration (static).
+      level: per-level arrays.
+      params0: [S, NP] initial guesses at this level's scale.
+      skip: [S] bool — subsets frozen by earlier failures; left untouched.
+      static: tile/image dims when the Pallas backend is active.
+    """
+    s = params0.shape[0]
+    f32 = jnp.float32
+
+    assemble = _make_assemble(cfg, level, static)
+    oob_code = _make_oob(cfg, level)
+
+    # scaling = 1/N for numerical precision (correlation_class.cpp:402)
+    n_ok = level.n_points > 0
+    scaling = jnp.where(n_ok, 1.0 / jnp.maximum(level.n_points, 1.0), 0.0)
+
     # ---- initial assembly at the initial guess ---------------------------
     a_mat, b_vec, chi_raw, interp_err = assemble(params0)
     chi0 = chi_raw * scaling
@@ -308,122 +564,87 @@ def solve_level(
     )
     p_saved0 = params0 + dp0
 
-    state = _LoopState(
-        p_cur=jnp.where(init_fail[:, None], params0, p_saved0),
-        p_lastgood=params0,
-        a_lg=a_mat,
-        b_lg=b_vec,
-        lam=lam0,
-        last_good_chi=jnp.where(init_fail, _FLT_MAX, chi0),
-        iteration=jnp.ones((s,), jnp.int32),
-        reached=jnp.zeros((s,), jnp.int32),
-        active=(~skip) & (~init_fail),
-        error=jnp.where(init_fail, init_error, jnp.int32(ErrorCode.NONE)),
+    active0 = (~skip) & (~init_fail)
+    state = _PackedState(
+        scal=jnp.stack(
+            [
+                lam0,
+                jnp.where(init_fail, _FLT_MAX, chi0),
+                jnp.ones((s,), f32),  # iteration (1-based)
+                jnp.zeros((s,), f32),  # reached
+                active0.astype(f32),
+                jnp.where(
+                    init_fail, init_error, jnp.int32(ErrorCode.NONE)
+                ).astype(f32),
+            ]
+        ),
+        pmat=jnp.stack(
+            [
+                jnp.where(init_fail[:, None], params0, p_saved0),
+                params0,
+            ]
+        ),
+        ab=jnp.concatenate([a_mat, b_vec[:, None, :]], axis=1),
         steps=jnp.int32(0),
     )
 
     max_steps = cfg.max_iterations + 2
-    prec = f32(cfg.precision)
-    lam_min = f32(cfg.lambda_min)
-    lam_max = f32(cfg.lambda_max)
-    lam_up = f32(cfg.lambda_up)
-    lam_down = f32(cfg.lambda_down)
+    body = _make_body(cfg, assemble, oob_code, scaling)
 
-    def cond(st: _LoopState):
-        return jnp.any(st.active) & (st.steps < max_steps)
+    pallas = level.pixdata is not None
+    group = static.group if pallas else 1
+    # Compacted stages run the kernel with a smaller grid block so the
+    # capacity granularity (group * block units) stays fine-grained;
+    # block is pure scheduling — per-unit results are bit-identical.
+    static_stage = (
+        static._replace(block=min(static.block, 16)) if pallas else static
+    )
+    blk = static_stage.block if pallas else 8
+    caps = _stage_caps(cfg, s, group, blk)
 
-    def body(st: _LoopState) -> _LoopState:
-        # Every step is one reference iteration: assemble at the tentative
-        # parameters and compare chi.  A converging step computes the next
-        # update from this fresh assembly with the optimistic lambda
-        # (correlation_class.cpp:523); a diverging step reverts and
-        # computes it from the CACHED last-good assembly with the raised
-        # lambda — exactly what the reference's recompute pass rebuilds
-        # with a second kernel launch (correlation_class.cpp:484-516).
-        q = st.p_cur
-
-        a_mat, b_vec, chi_raw, interp_err = assemble(q)
-        chi = chi_raw * scaling
-
-        err_now = st.active & interp_err
-
-        delta_chi = jnp.abs(
-            (st.last_good_chi - chi)
-            / (jnp.maximum(st.last_good_chi, chi) + prec)
+    if not caps:
+        final = jax.lax.while_loop(
+            _make_cond(max_steps, group, 0), body, state
         )
-        converging = chi <= st.last_good_chi
-        lam_next = jnp.where(
-            converging,
-            jnp.maximum(st.lam * lam_down, lam_min),
-            jnp.minimum(st.lam * lam_up, lam_max),
+    else:
+        full = jax.lax.while_loop(
+            _make_cond(max_steps, group, caps[0] // group), body, state
         )
-        conv_c = converging[:, None]
-        a_sel = jnp.where(conv_c[..., None], a_mat, st.a_lg)
-        b_sel = jnp.where(conv_c, b_vec, st.b_lg)
-        dp = lm_delta(a_sel, b_sel, lam_next, scaling)
-        p_new = jnp.where(conv_c, q, st.p_lastgood) + dp
+        cur_state, cur_level, cur_idx = full, level, None
+        for i, cap in enumerate(caps):
+            u_cap = cap // group
+            act = cur_state.scal[_SC_ACTIVE] > 0.0
+            u_act = jnp.any(act.reshape(-1, group), axis=1)
+            # Active units first (argsort of the inactive flag); any
+            # permutation is correct — per-unit math is order-free.
+            order = jnp.argsort(~u_act)[:u_cap].astype(jnp.int32)
+            full_idx = order if cur_idx is None else cur_idx[order]
+            part = _gather_state(cur_state, order, group)
+            lvl_i = _gather_level(cur_level, order, group)
+            scaling_i = jnp.where(
+                lvl_i.n_points > 0,
+                1.0 / jnp.maximum(lvl_i.n_points, 1.0),
+                0.0,
+            )
+            body_i = _make_body(
+                cfg,
+                _make_assemble(cfg, lvl_i, static_stage),
+                _make_oob(cfg, lvl_i),
+                scaling_i,
+            )
+            next_units = caps[i + 1] // group if i + 1 < len(caps) else 0
+            part = jax.lax.while_loop(
+                _make_cond(max_steps, group, next_units), body_i, part
+            )
+            full = _scatter_state(full, full_idx, group, part)
+            cur_state, cur_level, cur_idx = part, lvl_i, full_idx
+        final = full
 
-        # Singular damped system -> non-finite update: the reference's
-        # cuSolver failure (cuda_solver.cu:40-89).
-        solver_now = (
-            st.active & ~interp_err
-            & ~jnp.all(jnp.isfinite(dp), axis=-1)
-        )
-        stop_err = err_now | solver_now
-
-        do_step = st.active & ~stop_err
-        converged = delta_chi < prec
-        next_iter = st.iteration + 1
-        exhausted = (next_iter > cfg.max_iterations) | (lam_next >= lam_max)
-        step_stop = converged | exhausted
-
-        p_cur = jnp.where(
-            stop_err[:, None],
-            q,
-            jnp.where(do_step[:, None], p_new, st.p_cur),
-        )
-        accept = do_step & converging
-        p_lastgood = jnp.where(accept[:, None], q, st.p_lastgood)
-        a_lg = jnp.where(accept[:, None, None], a_mat, st.a_lg)
-        b_lg = jnp.where(accept[:, None], b_vec, st.b_lg)
-        last_good_chi = jnp.where(accept, chi, st.last_good_chi)
-        lam = jnp.where(do_step, lam_next, st.lam)
-        iteration = jnp.where(do_step, next_iter, st.iteration)
-        reached = jnp.where(do_step, st.iteration, st.reached)
-        active = st.active & ~stop_err & ~(do_step & step_stop)
-        error = jnp.where(
-            err_now,
-            oob_code(q),
-            jnp.where(
-                solver_now,
-                jnp.int32(ErrorCode.SOLVER),
-                jnp.where(
-                    do_step & exhausted & ~converged,
-                    jnp.int32(ErrorCode.MAX_ITERS_REACHED),
-                    st.error,
-                ),
-            ),
-        )
-        return _LoopState(
-            p_cur=p_cur,
-            p_lastgood=p_lastgood,
-            a_lg=a_lg,
-            b_lg=b_lg,
-            lam=lam,
-            last_good_chi=last_good_chi,
-            iteration=iteration,
-            reached=reached,
-            active=active,
-            error=error,
-            steps=st.steps + 1,
-        )
-
-    final = jax.lax.while_loop(cond, body, state)
     return LevelResult(
-        params=final.p_cur,
-        last_good_chi=final.last_good_chi,
-        reached=final.reached,
-        error=final.error,
+        params=final.pmat[0],
+        last_good_chi=final.scal[_SC_CHI],
+        reached=final.scal[_SC_REACH].astype(jnp.int32),
+        error=final.scal[_SC_ERR].astype(jnp.int32),
         init_fail=init_fail,
     )
 

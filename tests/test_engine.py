@@ -388,3 +388,130 @@ def test_choose_block_vmem_fallback_to_sep():
         compute_level_statics(cfg, batch_small, [img], "pallas")
     )
     assert not statics2[0].sep and statics2[0].block >= 8
+
+
+def test_compaction_cascade_bitwise_parity():
+    """The straggler compaction cascade (solve_level) must be a pure
+    scheduling change: per-subset results bit-identical to the monolithic
+    while_loop, including iteration counts and error codes, on a workload
+    whose subsets converge at very different iteration counts."""
+    import dataclasses
+
+    spk = Speckle(160, 160, seed=31)
+    und = spk.image(quantize=True)
+    # Displacement grows across the field: near subsets converge in ~2
+    # iterations, far ones run long (some to max_iters at the tight
+    # precision below).
+    gy, gx = np.mgrid[0:160, 0:160]
+    dfm = np.floor(
+        spk.eval(gx - 0.002 * gx * gx / 8.0, gy + 1.3)
+    ).astype(np.float32)
+
+    pts = []
+    centers = []
+    for cy in range(24, 137, 16):
+        for cx in range(24, 137, 16):
+            pts.append(_grid(cx - 7, cy - 7, cx + 7, cy + 7))
+            centers.append((cx, cy))
+    batch = make_batch(pts, np.array(centers, np.float32), 1)
+    base = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 1),
+        precision=1e-7,
+        max_iterations=30,
+        compact_stages=0,
+    )
+    und_pyr = build_pyramid(jnp.asarray(und[..., None]), 1)
+    def_pyr = build_pyramid(jnp.asarray(dfm[..., None]), 1)
+    p0 = np.zeros((batch.num_subsets, 2), np.float32)
+
+    ref = correlate(base, und_pyr, def_pyr, batch, p0)
+    its = np.asarray(ref.iterations)
+    assert its.min() + 2 < its.max(), "workload must have stragglers"
+
+    for backend in ("xla_sep", "xla"):
+        mono = correlate(
+            dataclasses.replace(base, backend=backend),
+            und_pyr, def_pyr, batch, p0,
+        )
+        comp = correlate(
+            dataclasses.replace(
+                base, backend=backend,
+                compact_stages=3, compact_factor=2, compact_min=8,
+            ),
+            und_pyr, def_pyr, batch, p0,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mono.params), np.asarray(comp.params)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mono.chi), np.asarray(comp.chi)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mono.iterations), np.asarray(comp.iterations)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mono.error), np.asarray(comp.error)
+        )
+
+
+def test_compaction_cascade_pallas_interpret_parity():
+    """Compaction through the Pallas kernel path (interpret mode): gathered
+    pixdata units must reproduce the monolithic result exactly."""
+    import dataclasses
+
+    from correlation_tpu.engine import compute_level_statics
+
+    spk = Speckle(128, 128, seed=32)
+    und = spk.image(quantize=True)
+    gy, gx = np.mgrid[0:128, 0:128]
+    dfm = np.floor(spk.eval(gx - gy * 0.01, gy + 0.9)).astype(np.float32)
+
+    pts = []
+    centers = []
+    for cy in range(20, 109, 12):
+        for cx in range(20, 109, 12):
+            pts.append(_grid(cx - 5, cy - 5, cx + 5, cy + 5))
+            centers.append((cx, cy))
+    batch = make_batch(pts, np.array(centers, np.float32), 0)
+    und_pyr = [jnp.asarray(und[..., None])]
+    def_pyr = [jnp.asarray(dfm[..., None])]
+    p0 = np.zeros((batch.num_subsets, 2), np.float32)
+
+    import correlation_tpu.ops.assemble_v2 as v2
+    orig = v2.pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    v2.pl.pallas_call = patched
+    v2.fused_assemble.clear_cache()
+    try:
+        base = SolverConfig(
+            model=FittingModel.UV,
+            interpolation=Interpolation.BICUBIC,
+            pyramid=PyramidConfig(0, 1, 0),
+            precision=1e-6,
+            max_iterations=25,
+            backend="pallas",
+            compact_stages=0,
+        )
+        mono = correlate(base, und_pyr, def_pyr, batch, p0)
+        cfg_c = dataclasses.replace(
+            base, compact_stages=2, compact_factor=2, compact_min=8
+        )
+        comp = correlate(cfg_c, und_pyr, def_pyr, batch, p0)
+    finally:
+        v2.pl.pallas_call = orig
+        v2.fused_assemble.clear_cache()
+    np.testing.assert_array_equal(
+        np.asarray(mono.params), np.asarray(comp.params)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono.iterations), np.asarray(comp.iterations)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono.error), np.asarray(comp.error)
+    )
