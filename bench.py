@@ -5,9 +5,13 @@ Prints one JSON line:
    "vs_baseline": N / 1e5}
 
 The workload is BASELINE.json config 2/5 shaped: a dense grid of 21x21-pixel
-subsets, 6-parameter affine warp, bicubic interpolation, 3-level pyramid,
-fixed realistic iteration count.  "One solve" = one subset's complete
-coarse-to-fine LM solve.  Baseline target: 1e5 solves/s (BASELINE.md).
+subsets, 6-parameter affine warp, bicubic interpolation, 3-level pyramid, at
+the REFERENCE'S OWN default stopping semantics (max_iters=50,
+precision=1e-3 — mainapp.cpp:204,208): subsets converge individually.
+"One solve" = one subset's complete coarse-to-fine LM solve.  Baseline
+target: 1e5 solves/s (BASELINE.md).  --fixed-iters restores the former
+fixed-8-iteration / precision=1e-12 kernel measurement; --dense runs 16384
+subsets; --single-dispatch the pre-round-4 per-frame-dispatch mode.
 """
 
 import json
@@ -80,6 +84,7 @@ def build_problem(num_subsets: int, img_hw: int = 1024, half: int = 10,
 
 
 def main():
+    import dataclasses
     import sys
 
     import jax
@@ -94,6 +99,13 @@ def main():
     num_subsets = 16384 if "--dense" in sys.argv else 4096
     frame_chunk = 16  # SequenceConfig.frame_chunk default
     cfg, und_pyr, def_pyr, batch, params0, raw = build_problem(num_subsets)
+    # HEADLINE SEMANTICS = the reference's own defaults (mainapp.cpp:204,
+    # 208): max_iters=50, precision=1e-3 — subsets converge individually
+    # and the solver must earn per-subset early stopping (the straggler
+    # compaction cascade, engine.solve_level).  The former fixed-8 /
+    # precision=1e-12 kernel measurement stays available via --fixed-iters.
+    if "--fixed-iters" not in sys.argv:
+        cfg = dataclasses.replace(cfg, max_iterations=50, precision=1e-3)
 
     # The production frame loop (sequence.run_sequence, Eulerian): K frame
     # solves chained inside ONE dispatch via lax.scan, pyramids built
@@ -135,25 +147,28 @@ def main():
     # execution, as consecutive chunks do in a production run); the final
     # readbacks bound the whole batch.  The tunneled chip shows transient
     # congestion slumps of up to 3x between otherwise identical runs
-    # (PERF.md measurement discipline), so take the best of two passes.
-    dt = float("inf")
-    for _ in range(2):
+    # (PERF.md measurement discipline): report BEST of three passes (the
+    # least-congested reading, used for the headline) alongside the
+    # MEDIAN (the cross-round-comparable statistic — VERDICT r4 weak #5).
+    pass_dts = []
+    for _ in range(3):
         t0 = time.perf_counter()
         results = [run() for _ in range(reps)]
         for out in results:
             sync(out)
-        dt = min(
-            dt, (time.perf_counter() - t0) / (reps * frame_chunk)
-        )
+        pass_dts.append((time.perf_counter() - t0) / (reps * frame_chunk))
 
+    dt = min(pass_dts)
     solves_per_s = num_subsets / dt
-    # Trust guard: a broken kernel must not post a fast number.  With
-    # precision=1e-12 the stopping test is unreachable, so subsets are
-    # EXPECTED to finish as MAX_ITERS_REACHED (that's the fixed work);
-    # genuine failures are the out-of-image / solver / domain codes.
+    median_rate = num_subsets / float(np.median(pass_dts))
+    # Trust guard: a broken kernel must not post a fast number.  At the
+    # reference-default precision subsets converge individually (a few
+    # stragglers may exhaust max_iters = code 3); genuine failures are
+    # the out-of-image / solver / domain codes.
     errors = np.asarray(results[-1]["error"])
     hard_frac = float(np.mean((errors != 0) & (errors != 3)))
     p_last = np.asarray(results[-1]["params"])
+    iters = float(np.asarray(results[-1]["iterations"]).mean())
     assert np.isfinite(p_last).all(), "non-finite parameters"
     assert hard_frac < 0.005, f"hard-error fraction {hard_frac}"
     print(
@@ -163,57 +178,16 @@ def main():
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 1e5, 4),
+                "median": round(median_rate, 1),
                 "hard_error_frac": round(hard_frac, 5),
                 "frame_chunk": frame_chunk,
                 "num_subsets": num_subsets,
+                "max_iterations": cfg.max_iterations,
+                "precision": cfg.precision,
+                "mean_iterations": round(iters, 2),
             }
         )
     )
-
-    if "--reference-defaults" in sys.argv:
-        # Reference-parity semantics (mainapp.cpp:204,208): max_iters=50,
-        # precision=1e-3 — subsets converge individually; adaptive work.
-        import dataclasses
-
-        cfg_ref = dataclasses.replace(
-            cfg, max_iterations=50, precision=1e-3
-        )
-        statics_ref = (
-            compute_level_statics(cfg_ref, batch, def_pyr, backend)
-            if backend != "xla"
-            else None
-        )
-
-        def run_ref():
-            return correlate_frames(
-                cfg_ref,
-                stack,
-                batch,
-                guess0=params0,
-                reference_first=True,
-                first_chunk=True,
-                statics=statics_ref,
-            )
-
-        sync(run_ref())
-        t0 = time.perf_counter()
-        results = [run_ref() for _ in range(reps)]
-        for out in results:
-            sync(out)
-        dt = (time.perf_counter() - t0) / (reps * frame_chunk)
-        iters = float(np.asarray(results[-1]["iterations"]).mean())
-        print(
-            json.dumps(
-                {
-                    "metric": "subset_gn_solves_per_s_reference_defaults",
-                    "value": round(num_subsets / dt, 1),
-                    "unit": "solves/s",
-                    "max_iterations": 50,
-                    "precision": 1e-3,
-                    "mean_iterations": round(iters, 2),
-                }
-            )
-        )
 
     if "--single-dispatch" in sys.argv:
         # The pre-round-4 per-frame-dispatch mode, kept for comparison.

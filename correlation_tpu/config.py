@@ -144,8 +144,8 @@ class SolverConfig:
     # smaller batch, repeated compact_stages times.  compact_min floors
     # the capacity (compaction overhead beats assembly cost only above
     # it).  compact_stages=0 disables (monolithic while_loop).
-    compact_stages: int = 3
-    compact_factor: int = 4
+    compact_stages: int = 6
+    compact_factor: int = 2
     compact_min: int = 128
 
     @property
