@@ -161,7 +161,14 @@ def decimate_levels(
     s = xy0.shape[0]
     ix = np.floor(xy0[..., 0] + 0.5).astype(np.int64)
     iy = np.floor(xy0[..., 1] + 0.5).astype(np.int64)
-    use_native = native.available()
+    # Small batches go through the native kernel (OpenMP decimate,
+    # native/domain_kernels.cpp); at scale the per-sector ctypes calls
+    # dominate (S=4096 sectors = thousands of FFI crossings per level per
+    # frame in a Lagrangian run), so large batches use the fully
+    # vectorized compaction below — one stable argsort brings each
+    # sector's surviving points to the front, preserving the reference's
+    # x-major point order (pyramid_class.cpp:301-322).
+    use_native = native.available() and s <= 64
     for level in range(1, max_level + 1):
         mag = 1 << level
         if use_native:
@@ -169,12 +176,23 @@ def decimate_levels(
                 native.decimate_points(xy0[i][mask0[i]], level)
                 for i in range(s)
             ]
-        else:
-            keep = mask0 & (ix % mag == 0) & (iy % mag == 0)
-            lists = [xy0[i][keep[i]] / np.float32(mag) for i in range(s)]
-        xs[level], ms[level] = _pad_points(
-            lists, pad_to=pad_to[level] if pad_to else None
-        )
+            xs[level], ms[level] = _pad_points(
+                lists, pad_to=pad_to[level] if pad_to else None
+            )
+            continue
+        keep = mask0 & (ix % mag == 0) & (iy % mag == 0)
+        cnt = keep.sum(axis=1)
+        max_p = max(int(cnt.max()) if s else 0, 1)
+        if pad_to:
+            max_p = max(max_p, pad_to[level])
+        max_p = -(-max_p // 8) * 8
+        order = np.argsort(~keep, axis=1, kind="stable")[:, :max_p]
+        xy_l = np.take_along_axis(xy0, order[..., None], axis=1)
+        mask_l = np.arange(max_p)[None, :] < cnt[:, None]
+        xs[level] = np.where(
+            mask_l[..., None], xy_l / np.float32(mag), 0.0
+        ).astype(np.float32)
+        ms[level] = mask_l
     return xs, ms
 
 

@@ -820,6 +820,8 @@ def _correlate_frames_impl(
     statics,
     ref_first: bool,
     stop_frame: bool,
+    lagrangian: bool,
+    float_centers: bool,
     frames_stack,  # [K+1, H, W, C] device frames (stack[0] = predecessor)
     xy,
     mask,
@@ -830,6 +832,8 @@ def _correlate_frames_impl(
     prev_seed,  # [S, NP] params one frame earlier (const-velocity base)
     chi_seed,  # [S] previous chi (STOP_FRAME frozen-record values)
     it_seed,  # [S] previous iterations
+    off_seed,  # [S, 2] cumulative integer domain offset (Lagrangian)
+    ucen_seed,  # [S, 2] chained float und centers (Lagrangian)
 ):
     """Solve K consecutive frame pairs in ONE dispatch (lax.scan).
 
@@ -837,13 +841,27 @@ def _correlate_frames_impl(
     (manager_class.cpp:1381-1475): pyramids for the whole chunk build
     in-jit (vmapped convs), and the per-call dispatch/tunnel latency —
     which dominates a single-frame solve — amortizes over K frames.
-    Fixed-geometry (Eulerian) only: the subset arrays are scan-invariant.
 
     Initial-guess chaining reproduces manager_class.cpp:2672-2700: with
     ref_first (Eulerian + reference First) each frame's guess is the
     constant-velocity extrapolation p + (p - p_prev); otherwise the
     previous result.  Seeding p_seed = prev_seed = guess makes step 0 of
     a fresh sequence start exactly from the customized frame-0 guess.
+
+    With `lagrangian`, the domain FOLLOWS the material in-scan: the
+    reference's adjust_lagrangian_domain is a per-sector whole-pixel
+    translate of a fixed point set (offset = the sector's (u, v) rounded
+    via add_pair, manager_class.cpp:2018-2310, :38-47), so the scan
+    carries a cumulative integer offset per sector and translates the
+    frame-0 point arrays on device; centers accumulate the UNROUNDED
+    (u, v) exactly like und_center <- def_center.  Level 0 is exact
+    reference semantics (integer offsets).  Levels l >= 1 translate the
+    frame-0 level-l point set by round(offset / 2^l) instead of
+    re-selecting members by the %2^l rule against the shifted level-0
+    set — same point count, sample positions within 2^(l-1) px of the
+    re-selected set's; coarse levels only seed the finest level, so the
+    deviation is below the solver's own precision (parity-tested against
+    the per-frame driver in test_sequence.py).
     """
     from correlation_tpu.ops import assemble_v2 as v2
     from correlation_tpu.ops.pyramid import build_pyramid
@@ -857,8 +875,9 @@ def _correlate_frames_impl(
 
     # Hoist scan-invariant work.  The deformed-image DMA prep (pad +
     # channel transpose) runs ONCE for the whole stack; with
-    # reference-First the entire subset side (und sampling, pixdata
-    # packing, bbox) is frame-invariant too and leaves the scan.
+    # reference-First + fixed geometry the entire subset side (und
+    # sampling, pixdata packing, bbox) is frame-invariant too and leaves
+    # the scan.
     schedule = cfg.pyramid.levels_coarse_to_fine()
     tiled = statics_d is not None
     prepped = {}
@@ -879,16 +898,16 @@ def _correlate_frames_impl(
                     lambda im, tw=st.tile_w: v2.prepare_image(im, tw)
                 )(pyr_stack[lvl])
     base_levels = None
-    if ref_first:
-        und_pyr0 = [L[0] for L in pyr_stack]
+    und_pyr0 = [L[0] for L in pyr_stack] if ref_first else None
+    if ref_first and not lagrangian:
         base_levels = prepare_levels(
             cfg, und_pyr0, und_pyr0, xy, mask, center0, statics_d,
             skip_def=tiled,
         )
 
-    def frame_levels(i):
+    def frame_levels(i, off=None, ucen=None):
         """LevelArrays for pair i (def = stack[i+1])."""
-        if ref_first and tiled:
+        if base_levels is not None and tiled:
             return {
                 lvl: base_levels[lvl]._replace(
                     def_img=jax.lax.dynamic_index_in_dim(
@@ -897,6 +916,21 @@ def _correlate_frames_impl(
                 )
                 for lvl in schedule
             }
+        if lagrangian:
+            # Per-level integer translate of the frame-0 point sets by
+            # the carried cumulative offset.  Centers: explicit (rect)
+            # domains chain the FLOAT def centers (und_center <-
+            # def_center, manager_class.cpp:2018-2310); point-mean
+            # domains re-derive centers from the (integer-translated)
+            # points, i.e. the frame-0 means + the integer offset.
+            xy_i = [
+                xy_l
+                + jnp.floor(off / jnp.float32(1 << lvl) + 0.5)[:, None, :]
+                for lvl, xy_l in enumerate(xy)
+            ]
+            center_i = ucen if float_centers else center0 + off
+        else:
+            xy_i, center_i = xy, center0
         und_pyr = (
             und_pyr0
             if ref_first
@@ -910,7 +944,7 @@ def _correlate_frames_impl(
             for L in pyr_stack
         ]
         levels = prepare_levels(
-            cfg, und_pyr, def_pyr, xy, mask, center0, statics_d,
+            cfg, und_pyr, def_pyr, xy_i, mask, center_i, statics_d,
             skip_def=tiled,
         )
         if tiled:
@@ -924,15 +958,43 @@ def _correlate_frames_impl(
             }
         return levels
 
+    def _uv_of(p):
+        uv = p[:, :2]
+        if uv.shape[1] < 2:
+            uv = jnp.pad(uv, ((0, 0), (0, 2 - uv.shape[1])))
+        return uv
+
     def body(carry, i):
-        p, prev, chi_c, it_c = carry
-        if ref_first:
-            guess = p + (p - prev)
-        else:
+        if lagrangian:
+            p, prev, chi_c, it_c, off, ucen = carry
+            # Domain advance for every step except the sequence's first
+            # frame (advance_domain runs between frames): offset =
+            # def_center - und_center = uv(params), points translate by
+            # add_pair rounding, centers by the float uv.
+            adv = (i != override_step).astype(jnp.float32)
+            uvp = _uv_of(p)
+            off = off + adv * jnp.floor(uvp + 0.5)
+            ucen = ucen + adv * uvp
             guess = p
+        else:
+            p, prev, chi_c, it_c = carry
+            off = ucen = None
+            if ref_first:
+                guess = p + (p - prev)
+            else:
+                guess = p
         guess = jnp.where(i == override_step, guess0, guess)
+        if lagrangian:
+            rec_center = ucen if float_centers else center0 + off
+        else:
+            rec_center = center0
         res = correlate_prepared(
-            cfg, frame_levels(i), guess, center0, n_points0, statics_d
+            cfg,
+            frame_levels(i, off, ucen),
+            guess,
+            rec_center,
+            n_points0,
+            statics_d,
         )
         if stop_frame:
             # Batched stop-frame: an errored sector's chained state does
@@ -952,11 +1014,18 @@ def _correlate_frames_impl(
         else:
             p_new, chi_new, it_new = res.params, res.chi, res.iterations
         out = (p_new, guess, chi_new, it_new, res.error)
+        if lagrangian:
+            return (p_new, p, chi_new, it_new, off, ucen), out
         return (p_new, p, chi_new, it_new), out
 
+    seed = (
+        (p_seed, prev_seed, chi_seed, it_seed, off_seed, ucen_seed)
+        if lagrangian
+        else (p_seed, prev_seed, chi_seed, it_seed)
+    )
     carry, ys = jax.lax.scan(
         body,
-        (p_seed, prev_seed, chi_seed, it_seed),
+        seed,
         jnp.arange(k, dtype=jnp.int32),
     )
     # One packed f32 output so the host fetches the whole chunk's results
@@ -980,13 +1049,13 @@ def _correlate_frames_impl(
 
 
 _correlate_frames_jit = functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 3)
+    jax.jit, static_argnums=(0, 1, 2, 3, 4, 5)
 )(_correlate_frames_impl)
 
 
 @functools.lru_cache(maxsize=None)
 def _correlate_frames_shardmap_fn(cfg, statics, ref_first, stop_frame,
-                                  mesh):
+                                  lagrangian, float_centers, mesh):
     """jit(shard_map) over the chained multi-frame solve: each device runs
     the full K-pair scan on its subset shard (pure data parallelism over
     sectors — frames replicate, no collectives in the shard bodies)."""
@@ -996,21 +1065,23 @@ def _correlate_frames_shardmap_fn(cfg, statics, ref_first, stop_frame,
 
     rep, sub = P(), P(SUBSET_AXIS)
     ksub = P(None, SUBSET_AXIS)  # [K, S, ...] outputs
+    carry_spec = (sub,) * (6 if lagrangian else 4)
 
     def local(frames_stack, xy, mask, center0, guess0, override_step,
-              p_seed, prev_seed, chi_seed, it_seed):
+              p_seed, prev_seed, chi_seed, it_seed, off_seed, ucen_seed):
         return _correlate_frames_impl(
-            cfg, statics, ref_first, stop_frame, frames_stack, xy, mask,
-            center0, guess0, override_step, p_seed, prev_seed, chi_seed,
-            it_seed,
+            cfg, statics, ref_first, stop_frame, lagrangian, float_centers,
+            frames_stack, xy, mask, center0, guess0, override_step, p_seed,
+            prev_seed, chi_seed, it_seed, off_seed, ucen_seed,
         )
 
     return jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(rep, sub, sub, sub, sub, rep, sub, sub, sub, sub),
-            out_specs=((sub, sub, sub, sub), (ksub,) * 5, ksub),
+            in_specs=(rep, sub, sub, sub, sub, rep, sub, sub, sub, sub,
+                      sub, sub),
+            out_specs=(carry_spec, (ksub,) * 5, ksub),
             check_vma=False,
         )
     )
@@ -1024,11 +1095,15 @@ def correlate_frames(
     *,
     reference_first: bool = True,
     stop_frame: bool = False,
+    lagrangian: bool = False,
+    float_centers: bool = True,
     first_chunk: bool = True,
     p_seed=None,
     prev_seed=None,
     chi_seed=None,
     it_seed=None,
+    off_seed=None,
+    ucen_seed=None,
     statics=None,
     mesh=None,
 ) -> dict:
@@ -1044,6 +1119,12 @@ def correlate_frames(
       reference_first: ReferenceImage.FIRST semantics (und = stack[0]
         for every pair + constant-velocity guess extrapolation).
       stop_frame: ErrorMode.STOP_FRAME freezing inside the chain.
+      lagrangian: DeformationDescription.LAGRANGIAN — the domain follows
+        the material in-scan (per-sector integer translate of the
+        frame-0 point sets carried on device; see _correlate_frames_impl).
+        `subsets` must hold the SEQUENCE-START geometry; off_seed /
+        ucen_seed carry the accumulated offset / centers entering the
+        chunk (defaults: zeros / subsets.center0).
       first_chunk: this chunk starts the sequence (step 0 uses guess0).
       p_seed/prev_seed/chi_seed/it_seed: chained state entering the chunk
         (from the previous chunk's outputs); default zeros.
@@ -1078,6 +1159,16 @@ def correlate_frames(
             shard_divisor=(mesh.devices.size if mesh is not None else 1),
         )
     orig_s = subsets.num_subsets
+    if lagrangian:
+        if off_seed is None:
+            off_seed = np.zeros((orig_s, 2), np.float32)
+        if ucen_seed is None:
+            ucen_seed = jnp.asarray(subsets.center0, jnp.float32)
+    else:
+        # Unused by the Eulerian scan (static flag) but still jit
+        # operands — keep them tiny constants.
+        off_seed = np.zeros((orig_s, 2), np.float32)
+        ucen_seed = np.zeros((orig_s, 2), np.float32)
     if mesh is not None:
         from correlation_tpu.parallel.mesh import (
             pad_to_mesh,
@@ -1100,6 +1191,8 @@ def correlate_frames(
         prev_seed = _pad_s(prev_seed)
         chi_seed = _pad_s(chi_seed)
         it_seed = _pad_s(it_seed)
+        off_seed = _pad_s(off_seed)
+        ucen_seed = _pad_s(ucen_seed)
         xy, mask, center0, guess0 = shard_inputs(mesh, subsets, guess0)
         frames_stack = replicate(mesh, frames_stack)
         from jax.sharding import NamedSharding, PartitionSpec as _P
@@ -1118,6 +1211,8 @@ def correlate_frames(
         prev_seed = _put(prev_seed, np.float32)
         chi_seed = _put(chi_seed, np.float32)
         it_seed = _put(it_seed, np.int32)
+        off_seed = _put(off_seed, np.float32)
+        ucen_seed = _put(ucen_seed, np.float32)
     else:
         xy = [jnp.asarray(a) for a in subsets.xy]
         mask = [jnp.asarray(a) for a in subsets.mask]
@@ -1143,13 +1238,16 @@ def correlate_frames(
         jnp.zeros((s,), jnp.int32) if it_seed is None
         else jnp.asarray(it_seed, jnp.int32)
     )
+    off_seed = jnp.asarray(off_seed, jnp.float32)
+    ucen_seed = jnp.asarray(ucen_seed, jnp.float32)
     if mesh is not None and _backend_uses_pallas(backend):
         fn = _correlate_frames_shardmap_fn(
-            cfg, statics, reference_first, stop_frame, mesh
+            cfg, statics, reference_first, stop_frame, lagrangian,
+            float_centers, mesh
         )
         carry, ys, packed = fn(
             frames_stack, xy, mask, center0, guess0, override,
-            p_seed, prev_seed, chi_seed, it_seed,
+            p_seed, prev_seed, chi_seed, it_seed, off_seed, ucen_seed,
         )
     else:
         carry, ys, packed = _correlate_frames_jit(
@@ -1157,6 +1255,8 @@ def correlate_frames(
             statics,
             reference_first,
             stop_frame,
+            lagrangian,
+            float_centers,
             frames_stack,
             xy,
             mask,
@@ -1167,6 +1267,8 @@ def correlate_frames(
             prev_seed,
             chi_seed,
             it_seed,
+            off_seed,
+            ucen_seed,
         )
     if subsets.num_subsets != orig_s:
         ys = tuple(a[:, :orig_s] for a in ys)

@@ -511,15 +511,21 @@ def run_sequence(
 
     import contextlib
 
+    lagr = cfg.deformation == DeformationDescription.LAGRANGIAN
     chunked = (
-        cfg.deformation == DeformationDescription.EULERIAN
+        cfg.deformation
+        in (DeformationDescription.EULERIAN, DeformationDescription.LAGRANGIAN)
         and cfg.frame_chunk > 1
         and total_pairs - start_frame > 1
     )
     if chunked:
         # Fixed-geometry fast path: K frame solves per device dispatch
         # (engine.correlate_frames), pyramids built in-jit.  Identical
-        # record semantics to the per-frame path (tested).
+        # record semantics to the per-frame path (tested).  Lagrangian
+        # domains chain too: the whole-pixel domain translate is carried
+        # on device (engine._correlate_frames_impl) while the host
+        # mirrors it per emitted frame (advance_domain) so records,
+        # checkpoints, and resume state stay exact.
         from correlation_tpu.engine import (
             compute_level_statics,
             correlate_frames,
@@ -588,6 +594,7 @@ def run_sequence(
         staged = stage(frame)
         pending = None  # (pframe, pk, out) dispatched, not yet fetched
         carry = None  # device-side seed chain
+        host_off = np.zeros((s_count, 2), np.float32)  # Lagrangian mirror
         halt = False
         while pending is not None or (frame < total_pairs and not halt):
             out = None
@@ -605,6 +612,9 @@ def run_sequence(
                             prev_seed=state.prev_params,
                             chi_seed=state.chi,
                             it_seed=state.iterations,
+                            ucen_seed=(
+                                state.und_center if lagr else None
+                            ),
                         )
                         if carry is None
                         else dict(
@@ -612,6 +622,8 @@ def run_sequence(
                             prev_seed=carry[1],
                             chi_seed=carry[2],
                             it_seed=carry[3],
+                            off_seed=carry[4] if lagr else None,
+                            ucen_seed=carry[5] if lagr else None,
                         )
                     )
                     out = correlate_frames(
@@ -621,6 +633,8 @@ def run_sequence(
                         guess0=state.guess,
                         reference_first=ref_first,
                         stop_frame=stop_frame,
+                        lagrangian=lagr,
+                        float_centers=state.explicit_centers,
                         first_chunk=(frame == 0),
                         statics=statics,
                         mesh=mesh,
@@ -664,8 +678,26 @@ def run_sequence(
                     # Reproduce the in-scan guess chain on host (bit-exact
                     # f32: p + (p - p_prev) / p; guess0 at frame 0) —
                     # saves a third of the serialized result transfer.
+                    # Lagrangian: also mirror the in-scan domain advance
+                    # (advance_domain accumulates the same f32 uv chain
+                    # the device carries) so records and resume state
+                    # track the device exactly.
                     if pframe + j == 0:
                         guess_j = state.guess.copy()
+                    elif lagr:
+                        # Mirror of the device chain: explicit (rect)
+                        # centers follow the float def centers
+                        # (advance_domain); point-mean centers re-derive
+                        # as frame-0 means + the cumulative integer
+                        # offset, exactly like the translated points.
+                        if not state.explicit_centers:
+                            host_off = host_off + np.floor(
+                                _uv(state.params) + 0.5
+                            )
+                        advance_domain(state, cfg, model)
+                        if not state.explicit_centers:
+                            state.und_center = und_center + host_off
+                        guess_j = state.params.copy()
                     elif ref_first:
                         guess_j = state.params + (
                             state.params - state.prev_params
@@ -676,7 +708,9 @@ def run_sequence(
                         state.prev_params = state.params.copy()
                     emit(
                         pframe + j, params_k[j], guess_j, chi_k[j],
-                        it_k[j], err_k[j], und_center, n_points,
+                        it_k[j], err_k[j],
+                        state.und_center if lagr else und_center,
+                        n_points,
                     )
                     emitted += 1
                     any_error = bool(

@@ -126,3 +126,43 @@ def test_blob_batch_rasterizer_agreement():
     n_cross = int(cross.n_points(0)[0])
     # two rasterizers may differ on boundary pixels only
     assert abs(n_tri - n_cross) < 0.15 * max(n_tri, n_cross)
+
+
+def test_decimate_vectorized_matches_native_at_scale():
+    """decimate_levels switches to the vectorized compaction path above
+    S=64 sectors (the per-sector native-FFI loop dominated Lagrangian
+    frames at dense-grid scale); both paths must produce identical
+    per-level point sets, order included."""
+    from correlation_tpu import native
+    from correlation_tpu.domains import _pad_points, decimate_levels
+
+    rng = np.random.default_rng(7)
+    pts = []
+    for i in range(96):  # > 64 forces the vectorized path
+        cx, cy = rng.integers(30, 400, 2)
+        n = rng.integers(40, 120)
+        p = np.stack(
+            [rng.integers(cx, cx + 25, n), rng.integers(cy, cy + 25, n)],
+            axis=-1,
+        ).astype(np.float32)
+        pts.append(np.unique(p, axis=0))
+    xy0, mask0 = _pad_points(pts)
+    xs_v, ms_v = decimate_levels(xy0, mask0, [0, 1, 2])
+    if not native.available():
+        import pytest
+
+        pytest.skip("native kernels unavailable")
+    # reference: per-sector native decimation + padding
+    for level in (1, 2):
+        lists = [
+            native.decimate_points(xy0[i][mask0[i]], level)
+            for i in range(len(pts))
+        ]
+        xy_n, mask_n = _pad_points(lists)
+        p = min(xy_n.shape[1], xs_v[level].shape[1])
+        assert mask_n[:, p:].sum() == 0 and ms_v[level][:, p:].sum() == 0
+        np.testing.assert_array_equal(mask_n[:, :p], ms_v[level][:, :p])
+        np.testing.assert_array_equal(
+            np.where(mask_n[..., None], xy_n, 0)[:, :p],
+            np.where(ms_v[level][..., None], xs_v[level], 0)[:, :p],
+        )

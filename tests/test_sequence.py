@@ -422,3 +422,52 @@ def test_chunked_color_matches_per_frame():
         np.testing.assert_allclose(a.params, b.params, atol=1e-5)
         np.testing.assert_array_equal(a.error, b.error)
     np.testing.assert_allclose(rc[-1].params[0], [3 * du, 3 * dv], atol=0.1)
+
+
+def test_chunked_lagrangian_matches_per_frame():
+    """The chunked Lagrangian path (domain translate carried in-scan,
+    engine._correlate_frames_impl) must track the per-frame driver.
+    Level 0 uses exact reference semantics (integer whole-pixel domain
+    offsets); coarse levels translate the frame-0 point sets instead of
+    re-selecting %2^l members, a sub-precision seeding difference — so
+    records agree to tight tolerances rather than bitwise."""
+    du, dv = 1.3, -0.8  # whole-pixel domain offsets after add_pair rounding
+    frames = _frames(6, du, dv, h=128, w=128)
+    pts = [_grid_pts(34, 34, 62, 62), _grid_pts(58, 66, 90, 94)]
+    for ref in (ReferenceImage.PREVIOUS, ReferenceImage.FIRST):
+        cfg_c = _cfg(
+            deformation=DeformationDescription.LAGRANGIAN,
+            reference=ref,
+            frame_chunk=3,
+        )
+        cfg_p = _cfg(
+            deformation=DeformationDescription.LAGRANGIAN,
+            reference=ref,
+            frame_chunk=1,
+        )
+        rc = run_sequence(frames, pts, cfg_c)
+        rp = run_sequence(frames, pts, cfg_p)
+        assert len(rc) == len(rp) == 5
+        for a, b in zip(rc, rp):
+            assert np.array_equal(a.error, b.error)
+            np.testing.assert_allclose(a.params, b.params, atol=5e-3)
+            np.testing.assert_allclose(
+                a.initial_guess, b.initial_guess, atol=5e-3
+            )
+            np.testing.assert_allclose(
+                a.und_center, b.und_center, atol=5e-3
+            )
+            np.testing.assert_allclose(
+                a.def_center, b.def_center, atol=8e-3
+            )
+        # physical tracking: each frame pair recovers ~(du, dv) under
+        # reference PREVIOUS; accumulated under FIRST
+        last = rc[-1].params
+        expect = (
+            np.array([du, dv])
+            if ref == ReferenceImage.PREVIOUS
+            else np.array([5 * du, 5 * dv])
+        )
+        np.testing.assert_allclose(
+            last, np.tile(expect, (2, 1)), atol=0.08
+        )
