@@ -208,6 +208,30 @@ def config3():
               points=int(batch.n_points(0).sum()),
               errors=int((np.asarray(res.error) != 0).sum()))
 
+    # Combined-domains dispatch (VERDICT r5 item 9): the annulus and the
+    # blob solve in ONE call — small jobs are dominated by the fixed
+    # per-dispatch cost.  correlate_many keeps each domain's OWN tile
+    # statics (a naive batch concat would blow every annular sector's
+    # tile up to the blob's extent) and fetches all results in one
+    # packed transfer.
+    from correlation_tpu.engine import correlate_many
+
+    def run_both():
+        return correlate_many(
+            cfg, und_pyr, def_pyr, [ann, blob],
+            [np.zeros((b.num_subsets, 3), np.float32)
+             for b in (ann, blob)],
+        )
+
+    parts = run_both()
+    n_both = ann.num_subsets + blob.num_subsets
+    dt_b = _time(run_both)
+    _emit(3, "combined_annular_blob_solves_per_s",
+          n_both / dt_b, "solves/s",
+          subsets=n_both, domains=2,
+          points=int(ann.n_points(0).sum() + blob.n_points(0).sum()),
+          errors=int(sum((p.error != 0).sum() for p in parts)))
+
 
 def config4():
     from correlation_tpu.config import (

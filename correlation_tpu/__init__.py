@@ -26,7 +26,12 @@ from correlation_tpu.config import (
     SolverConfig,
     PyramidConfig,
 )
-from correlation_tpu.engine import correlate, CorrelationResult
+from correlation_tpu.engine import (
+    correlate,
+    correlate_many,
+    CorrelationResult,
+)
+from correlation_tpu.domains import combine_batches, split_result
 from correlation_tpu.sequence import SequenceConfig, run_sequence
 
 __version__ = "0.1.0"
@@ -42,6 +47,9 @@ __all__ = [
     "PyramidConfig",
     "SequenceConfig",
     "correlate",
+    "correlate_many",
+    "combine_batches",
+    "split_result",
     "CorrelationResult",
     "run_sequence",
 ]

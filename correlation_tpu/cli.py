@@ -81,12 +81,34 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar=("START", "STEP", "STOP"))
     ap.add_argument("--max-iters", type=int, default=50)
     ap.add_argument("--precision", type=float, default=1e-3)
+    ap.add_argument("--backend",
+                    choices=["auto", "pallas", "xla_sep", "xla"],
+                    default="auto",
+                    help="assembly backend: auto = fused Pallas kernel on "
+                         "TPU / xla_sep elsewhere; xla_sep = pure-XLA "
+                         "separable tiles (runs anywhere); xla = "
+                         "coefficient-field gather path (no tile-extent "
+                         "limit on warps).  For hardware A/B runs and "
+                         "field fallbacks (see PERF.md knob table)")
+    ap.add_argument("--tile-margin", type=int, default=8, metavar="PX",
+                    help="warp headroom pixels in the tiled backends' "
+                         "image tiles beyond subset extent + spline halo "
+                         "(default 8); raise for large expected warps")
+    ap.add_argument("--compact-stages", type=int, default=6, metavar="N",
+                    help="straggler-compaction stages in the LM loop "
+                         "(0 disables; see SolverConfig.compact_stages)")
     ap.add_argument("--guess", nargs="*", type=float,
                     help="global initial guess parameters")
     ap.add_argument("--auto-guess", action="store_true",
-                    help="seed the frame-0 global (u, v) by FFT phase "
-                         "correlation of the first frame pair (for large "
-                         "displacements beyond the pyramid capture range)")
+                    help="seed frame 0 by FFT phase correlation of the "
+                         "first frame pair: PER-SECTOR (u, v) windows "
+                         "around every sector center, so spatially varying "
+                         "large displacements beyond the pyramid capture "
+                         "range seed correctly (exceeds the reference's "
+                         "global-offset-only customization)")
+    ap.add_argument("--auto-guess-win", type=int, default=64, metavar="W",
+                    help="phase-correlation window size per sector "
+                         "(default 64; clipped to the image)")
     ap.add_argument("--deformation", choices=sorted(_DEFORM),
                     default="eulerian")
     ap.add_argument("--reference", choices=sorted(_REF), default="first")
@@ -140,6 +162,9 @@ def main(argv: list[str] | None = None) -> int:
         pyramid=PyramidConfig(*args.pyramid),
         max_iterations=args.max_iters,
         precision=args.precision,
+        backend=args.backend,
+        tile_margin=args.tile_margin,
+        compact_stages=args.compact_stages,
     )
     cfg = SequenceConfig(
         solver=solver,
@@ -220,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    per_sector_guess = None
     if args.auto_guess:
         if args.guess:
             print(
@@ -235,17 +261,27 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         from correlation_tpu.io import load_image
-        from correlation_tpu.ops.seed import global_guess_from_pair
+        from correlation_tpu.ops.seed import phase_correlation_guess
 
-        guess = global_guess_from_pair(
+        sector_centers = (
+            centers
+            if centers is not None
+            else np.array(
+                [p.mean(axis=0) for p in point_lists], np.float32
+            )
+        )
+        per_sector_guess = phase_correlation_guess(
             load_image(args.images[0], not args.color),
             load_image(args.images[1], not args.color),
-            global_center,
-            solver.num_params,
+            sector_centers,
+            win=args.auto_guess_win,
         )
         print(
-            f"auto-guess (phase correlation): u={guess[0]:.0f} "
-            f"v={guess[1] if solver.num_params > 1 else 0:.0f}",
+            "auto-guess (per-sector phase correlation): "
+            f"u in [{per_sector_guess[:, 0].min():.0f}, "
+            f"{per_sector_guess[:, 0].max():.0f}], "
+            f"v in [{per_sector_guess[:, 1].min():.0f}, "
+            f"{per_sector_guess[:, 1].max():.0f}]",
             file=sys.stderr,
         )
 
@@ -271,6 +307,7 @@ def main(argv: list[str] | None = None) -> int:
             centers=centers,
             global_center=global_center,
             contours=contours,
+            per_sector_guess=per_sector_guess,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
             mesh=mesh,

@@ -227,6 +227,65 @@ def make_batch(
     )
 
 
+def combine_batches(
+    batches: list[SubsetBatch],
+) -> tuple[SubsetBatch, list[int]]:
+    """Concatenate independent domains into ONE batch (one dispatch).
+
+    Small jobs (single pairs, few-sector ROIs) are dominated by the fixed
+    per-dispatch cost; batching several independent domains/ROIs into one
+    solve amortizes it — a capability the reference lacks outright (it
+    solves sectors serially, manager_class.cpp:304-547).  Per-level point
+    arrays pad to the widest member and concatenate along the subset
+    axis; results split back with `split_counts` (e.g.
+    `np.split(params, np.cumsum(counts)[:-1])`).
+
+    Returns (combined_batch, per-domain subset counts).
+    """
+    if not batches:
+        raise ValueError("no batches to combine")
+    n_levels = len(batches[0].xy)
+    if any(len(b.xy) != n_levels for b in batches):
+        raise ValueError("batches disagree on pyramid depth")
+    xs, ms = [], []
+    for lvl in range(n_levels):
+        p_max = max(int(np.asarray(b.xy[lvl]).shape[1]) for b in batches)
+        xy_parts, m_parts = [], []
+        for b in batches:
+            xy = np.asarray(b.xy[lvl])
+            mk = np.asarray(b.mask[lvl])
+            pad = p_max - xy.shape[1]
+            if pad:
+                xy = np.pad(xy, ((0, 0), (0, pad), (0, 0)))
+                mk = np.pad(mk, ((0, 0), (0, pad)))
+            xy_parts.append(xy)
+            m_parts.append(mk)
+        xs.append(np.concatenate(xy_parts, axis=0))
+        ms.append(np.concatenate(m_parts, axis=0))
+    center0 = np.concatenate(
+        [np.asarray(b.center0) for b in batches], axis=0
+    )
+    combined = SubsetBatch(
+        xs, ms, center0.astype(np.float32),
+        extents=_level_extents(xs, ms),
+        group_extents=_level_group_extents(xs, ms),
+    )
+    return combined, [b.num_subsets for b in batches]
+
+
+def split_result(result, counts: list[int]):
+    """Split a combined-batch CorrelationResult back per domain."""
+    edges = np.cumsum(counts)[:-1]
+    fields = {
+        k: [np.asarray(a) for a in np.split(np.asarray(v), edges)]
+        for k, v in result._asdict().items()
+    }
+    return [
+        type(result)(**{k: fields[k][i] for k in fields})
+        for i in range(len(counts))
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Rectangular domains
 # ---------------------------------------------------------------------------

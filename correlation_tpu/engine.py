@@ -1289,6 +1289,109 @@ def correlate_frames(
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
+def _correlate_many_jit(cfg, statics_all, und_pyramid, def_pyramid, doms):
+    """One traced program solving several independent domains (shared
+    frame pair), packing every domain's results into ONE array so the
+    host pays a single readback."""
+    packed = []
+    for statics, (xy, mask, center0, params0) in zip(statics_all, doms):
+        statics_d = dict(statics) if statics else None
+        levels = prepare_levels(
+            cfg, und_pyramid, def_pyramid, list(xy), list(mask), center0,
+            statics_d,
+        )
+        n_points0 = jnp.sum(mask[0], axis=-1)
+        res = correlate_prepared(
+            cfg, levels, params0, center0, n_points0, statics_d
+        )
+        packed.append(
+            jnp.concatenate(
+                [
+                    res.params,
+                    res.chi[:, None],
+                    res.iterations.astype(jnp.float32)[:, None],
+                    res.error.astype(jnp.float32)[:, None],
+                ],
+                axis=-1,
+            )
+        )
+    return jnp.concatenate(packed, axis=0)  # [S_total, NP+3]
+
+
+def correlate_many(
+    cfg: SolverConfig,
+    und_pyramid,
+    def_pyramid,
+    batches,
+    params0_list,
+) -> list[CorrelationResult]:
+    """Solve several INDEPENDENT domains over one frame pair in ONE
+    dispatch.
+
+    The complement of domains.combine_batches for heterogeneous ROIs:
+    combine_batches concatenates same-shaped sectors into one kernel
+    call, but a large blob next to small annular sectors would inflate
+    every subset's tile to the blob's extent.  Here each domain keeps
+    its OWN per-level tile statics — the domains solve sequentially
+    inside one traced program, the fixed per-dispatch/tunnel cost is
+    paid once, and all results return in a single packed transfer.
+    (The reference solves sectors serially with one kernel launch each,
+    manager_class.cpp:304-547 — this is strictly beyond it.)
+
+    Args:
+      cfg: shared solver configuration.
+      und_pyramid / def_pyramid: shared frame-pair pyramids.
+      batches: list of domains.SubsetBatch.
+      params0_list: per-domain [S_i, NP] initial guesses.
+
+    Returns:
+      One CorrelationResult per domain.
+    """
+    num_colors = int(und_pyramid[0].shape[-1])
+    backend = resolve_backend(cfg, num_colors)
+    statics_all = tuple(
+        compute_level_statics(cfg, b, def_pyramid, backend)
+        if backend != "xla"
+        else None
+        for b in batches
+    )
+    und_pyramid = [jnp.asarray(a) for a in und_pyramid]
+    def_pyramid = [jnp.asarray(a) for a in def_pyramid]
+    doms = tuple(
+        (
+            tuple(jnp.asarray(a) for a in b.xy),
+            tuple(jnp.asarray(a) for a in b.mask),
+            jnp.asarray(b.center0),
+            jnp.asarray(p0, jnp.float32),
+        )
+        for b, p0 in zip(batches, params0_list)
+    )
+    packed = np.asarray(
+        _correlate_many_jit(
+            cfg, statics_all, und_pyramid, def_pyramid, doms
+        )
+    )
+    num_p = cfg.num_params
+    out = []
+    start = 0
+    for b in batches:
+        s = b.num_subsets
+        rows = packed[start : start + s]
+        start += s
+        out.append(
+            CorrelationResult(
+                params=rows[:, :num_p],
+                chi=rows[:, num_p],
+                iterations=rows[:, num_p + 1].astype(np.int32),
+                error=rows[:, num_p + 2].astype(np.int32),
+                center=np.asarray(b.center0),
+                n_points=np.asarray(b.n_points(0)).astype(np.int32),
+            )
+        )
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def _correlate_jit(
     cfg, statics, und_pyramid, def_pyramid, xy, mask, center0, params0
 ):

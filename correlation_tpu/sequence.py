@@ -128,12 +128,22 @@ def initial_track_state(
     global_guess: np.ndarray,
     model: FittingModel,
     contours: list | None = None,
+    per_sector_uv: np.ndarray | None = None,
 ) -> _TrackState:
     """Frame-0 setup: per-sector guess customization from the global guess.
 
     For UVQ, sectors away from the global center receive the rigid-rotation
     translation offset; for AFFINE, the strain offset
     (manager_class.cpp:2609-2660).
+
+    per_sector_uv: optional [S, 2] per-sector (u, v) seeds (e.g. from
+    ops.seed.phase_correlation_guess) overriding the global guess's
+    translation columns before the rotation/strain offsets apply — this
+    EXCEEDS the reference, whose per-sector customization is only the
+    affine/rotation offset about the global center
+    (manager_class.cpp:2609-2660): a spatially varying large-displacement
+    field (the case automatic seeding exists for) gets a per-sector
+    starting point instead of one global (u, v).
     """
     s = len(point_lists)
     num_params = len(global_guess)
@@ -143,6 +153,11 @@ def initial_track_state(
             [p.mean(axis=0) for p in point_lists], np.float32
         )
     guess = np.tile(np.asarray(global_guess, np.float32), (s, 1))
+    if per_sector_uv is not None:
+        uv = np.asarray(per_sector_uv, np.float32).reshape(s, 2)
+        guess[:, 0] = uv[:, 0]
+        if num_params > 1:
+            guess[:, 1] = uv[:, 1]
     d = centers - np.asarray(global_center, np.float32)
     if model == FittingModel.UVQ:
         vx = global_guess[2]
@@ -353,6 +368,7 @@ def run_sequence(
     centers: np.ndarray | None = None,
     global_center: np.ndarray | None = None,
     contours: list | None = None,
+    per_sector_guess: np.ndarray | None = None,
     should_stop=None,
     meter=None,
     checkpoint_path: str | None = None,
@@ -372,6 +388,8 @@ def run_sequence(
         to use per-sector point means (annular/blob).
       global_center: [2] domain global center (defaults to mean of centers).
       contours: optional per-sector contour polylines to track.
+      per_sector_guess: optional [S, 2] per-sector frame-0 (u, v) seeds
+        (see initial_track_state; typically phase-correlation output).
       should_stop: optional () -> bool cooperative-cancel poll (the batched
         analog of the reference's stop_flag, manager_class.h:200).
       meter: optional utils.profiling.SolveMeter to accumulate solves/s.
@@ -415,7 +433,7 @@ def run_sequence(
     if state is None:
         state = initial_track_state(
             point_lists, centers, global_center, global_guess, model,
-            contours=contours,
+            contours=contours, per_sector_uv=per_sector_guess,
         )
     s_count = len(state.und_points)
     if state.chi is None:

@@ -515,3 +515,42 @@ def test_compaction_cascade_pallas_interpret_parity():
     np.testing.assert_array_equal(
         np.asarray(mono.error), np.asarray(comp.error)
     )
+
+
+def test_correlate_many_matches_separate():
+    """correlate_many solves heterogeneous domains in one dispatch with
+    per-domain tile statics — results must equal separate correlate()
+    calls exactly (same statics per domain, same programs)."""
+    from correlation_tpu.engine import correlate_many
+
+    spk = Speckle(128, 128, seed=52)
+    und = spk.image(quantize=True)[..., None]
+    dfm = spk.warped_image(u=0.8, v=-0.6, quantize=True)[..., None]
+    und_pyr = build_pyramid(jnp.asarray(und), 1)
+    def_pyr = build_pyramid(jnp.asarray(dfm), 1)
+
+    cfg = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 1),
+        precision=1e-5,
+    )
+    small = make_batch(
+        [_grid(24, 24, 44, 44), _grid(60, 24, 80, 44)], None, 1
+    )
+    big = make_batch([_grid(30, 60, 95, 110)], None, 1)
+
+    p0s = [np.zeros((b.num_subsets, 2), np.float32) for b in (small, big)]
+    many = correlate_many(cfg, und_pyr, def_pyr, [small, big], p0s)
+    assert len(many) == 2
+    for b, p0, got in zip((small, big), p0s, many):
+        sep = correlate(cfg, und_pyr, def_pyr, b, p0)
+        np.testing.assert_array_equal(
+            got.params, np.asarray(sep.params)
+        )
+        np.testing.assert_array_equal(got.chi, np.asarray(sep.chi))
+        np.testing.assert_array_equal(
+            got.iterations, np.asarray(sep.iterations)
+        )
+        np.testing.assert_array_equal(got.error, np.asarray(sep.error))
+        np.testing.assert_allclose(got.params[:, 0], 0.8, atol=0.02)
