@@ -325,10 +325,23 @@ def main(argv: list[str] | None = None) -> int:
             def __len__(self):
                 return len(args.images)
 
+        plot_points = args.plot_points
+        if plot_points and cfg.deformation != DeformationDescription.EULERIAN:
+            # The overlay warps the FRAME-0 point lists with each record's
+            # params; under Lagrangian descriptions the undeformed points
+            # move every frame, so those pixels would be wrong (ADVICE
+            # r4).  Contour overlays (tracked per frame) remain valid.
+            print(
+                "--plot-points ignored: only valid for --deformation "
+                "eulerian (the frame-0 point lists move under Lagrangian "
+                "descriptions); contour overlays are still drawn",
+                file=sys.stderr,
+            )
+            plot_points = False
         paths = viz.save_sequence_overlays(
             _Reload(), records, args.plot_dir,
-            point_lists=point_lists if args.plot_points else None,
-            model=solver.model if args.plot_points else None,
+            point_lists=point_lists if plot_points else None,
+            model=solver.model if plot_points else None,
         )
         print(f"wrote {len(paths)} overlay images to {args.plot_dir}")
     csv = write_report(

@@ -1538,11 +1538,17 @@ def _image_is_integral(a) -> bool:
 def compute_level_statics(
     cfg: SolverConfig, subsets, def_pyramid, backend: str | None = None,
     shard_divisor: int = 1,
+    integral_override: bool | None = None,
 ) -> tuple[tuple[int, "LevelStatic"], ...]:
     """Host-side static tile dims per level for the tiled backends.
 
     shard_divisor: number of equal shards the subset axis will split into
     (mesh data parallelism) — lane packing must divide each shard.
+    integral_override: force the integral-image verdict (parts=1 kernel
+    fast path) instead of probing def_pyramid — False makes the statics
+    safe for NON-integer frames a chunked sequence may stage later
+    (ADVICE r4: the verdict must hold for the whole sequence, not just
+    the base frame); True asserts every frame is uint8-valued.
     """
     import os
 
@@ -1559,7 +1565,7 @@ def compute_level_statics(
     gram = os.environ.get("CORRTPU_GRAM", "unit")
     slack = bool(int(os.environ.get("CORRTPU_SLACK", "0")))
     sel = os.environ.get("CORRTPU_SEL", "batched")
-    if not sep:
+    if not sep and integral_override is None:
         _prime_integral_cache(
             def_pyramid[lvl]
             for lvl in cfg.pyramid.levels_coarse_to_fine()
@@ -1608,7 +1614,12 @@ def compute_level_statics(
             )
             if tsrc.startswith("vmem"):
                 img_bytes = ib
-            if _image_is_integral(def_pyramid[lvl]):
+            integral = (
+                _image_is_integral(def_pyramid[lvl])
+                if integral_override is None
+                else integral_override
+            )
+            if integral:
                 # Integer-valued images (uint8 pyramids, ops/pyramid.py)
                 # are EXACT in a single bf16 part — the kernel's selection
                 # contraction shrinks 3x and the sel scratch halves, with

@@ -562,15 +562,34 @@ def run_sequence(
             and mesh.devices.flat[0].platform != "tpu"
         ):
             backend = "xla_sep"
+        pyr0 = build_pyramid(jnp.asarray(frame0_img), stop)
         if backend != "xla":
             statics = compute_level_statics(
-                solver, batch, build_pyramid(jnp.asarray(frame0_img), stop),
-                backend,
+                solver, batch, pyr0, backend,
                 shard_divisor=(mesh.devices.size if mesh is not None else 1),
             )
         else:
             statics = None
         und0 = frame0_img if ref_first else None
+        # parts=1 guard (ADVICE r4): the statics' integral-image verdict
+        # comes from frame 0, but the kernel samples every DEF frame of
+        # the sequence at bf16 when parts == 1.  File-loaded sequences
+        # are uint8-valued by construction (io.load_image); for anything
+        # else each staged frame is host-checked, and the first
+        # non-integer frame demotes the statics to the full-precision
+        # 3-part split before its chunk dispatches.
+        guard_p1 = (
+            statics is not None
+            and any(st.parts == 1 for _, st in statics)
+            and not getattr(frames, "uint8_source", False)
+        )
+
+        def _np_integral(a):
+            return (
+                float(a.min()) >= 0.0
+                and float(a.max()) <= 256.0
+                and not np.any(np.floor(a) != a)
+            )
 
         # One compiled chunk shape per run: tail chunks pad by repeating
         # the last frame (their extra solves are discarded) instead of
@@ -589,6 +608,7 @@ def run_sequence(
 
         def stage(frame):
             """Build + start the async upload of a chunk's frame stack."""
+            nonlocal statics, guard_p1
             k = min(k_shape, total_pairs - frame)
             base = (
                 und0 if ref_first
@@ -598,6 +618,17 @@ def run_sequence(
                 np.asarray(frames[frame + j + 1], np.float32)
                 for j in range(k)
             ]
+            if guard_p1 and not all(
+                _np_integral(f) for f in def_frames
+            ):
+                statics = compute_level_statics(
+                    solver, batch, pyr0, backend,
+                    shard_divisor=(
+                        mesh.devices.size if mesh is not None else 1
+                    ),
+                    integral_override=False,
+                )
+                guard_p1 = False
             def_frames += [def_frames[-1]] * (k_shape - k)
             return k, jax.device_put(np.stack([base] + def_frames))
 
@@ -738,11 +769,20 @@ def run_sequence(
                         stop_now = True
                         break
                 next_frame = pframe + emitted
-                if stop_now or cancelled or next_frame >= total_pairs or (
-                    checkpoint_path is not None
-                    and any(
-                        (pframe + j + 1) % max(checkpoint_every, 1) == 0
-                        for j in range(emitted)
+                # `halt` saves too: a dispatch-time stop with a pending
+                # chunk must persist the frames emitted since the last
+                # periodic save (ADVICE r4 — with checkpoint_every > 1
+                # the run could otherwise exit without them).
+                if (
+                    stop_now or cancelled or halt
+                    or next_frame >= total_pairs
+                    or (
+                        checkpoint_path is not None
+                        and any(
+                            (pframe + j + 1) % max(checkpoint_every, 1)
+                            == 0
+                            for j in range(emitted)
+                        )
                     )
                 ):
                     save_ckpt(next_frame)
@@ -847,6 +887,11 @@ def run_sequence_from_files(
     prefetcher = FramePrefetcher(paths, monochrome=monochrome, ahead=ahead)
 
     class _LazyFrames:
+        # load_image always yields uint8-valued float32 (it converts via
+        # PIL L/RGB), so the chunked driver's parts=1 kernel fast path
+        # holds for EVERY frame without per-frame host checks.
+        uint8_source = True
+
         def __len__(self):
             return len(paths)
 

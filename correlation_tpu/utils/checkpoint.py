@@ -16,7 +16,11 @@ import numpy as np
 
 from correlation_tpu.sequence import FrameRecord, _TrackState
 
-_FORMAT_VERSION = 1
+# v1 = round-3 payload; v2 (round 5) adds state_chi/state_iterations,
+# und_e/def_e, and per-record strain fields.  Readers accept both —
+# the v1 migration is the key-guarded defaults below (ADVICE r4).
+_FORMAT_VERSION = 2
+_READABLE_VERSIONS = {1, 2}
 
 
 def save_checkpoint(
@@ -88,7 +92,9 @@ def load_checkpoint(path: str):
     """Returns (next_frame, state, records)."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())
-    assert meta["version"] == _FORMAT_VERSION
+    assert meta["version"] in _READABLE_VERSIONS, (
+        f"unsupported checkpoint version {meta['version']}"
+    )
     s = meta["num_sectors"]
 
     def arr(key, default_dtype=np.float32):

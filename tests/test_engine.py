@@ -554,3 +554,28 @@ def test_correlate_many_matches_separate():
         )
         np.testing.assert_array_equal(got.error, np.asarray(sep.error))
         np.testing.assert_allclose(got.params[:, 0], 0.8, atol=0.02)
+
+
+def test_integral_override_demotes_parts():
+    """compute_level_statics(integral_override=False) must force the
+    full-precision 3-part split even for integer-valued images — the
+    chunked driver demotes this way when a later frame of a sequence is
+    not uint8-valued (ADVICE r4: the base frame's verdict must not
+    silently apply to the whole sequence)."""
+    from correlation_tpu.engine import compute_level_statics
+    from correlation_tpu.ops.pyramid import build_pyramid
+
+    spk = Speckle(96, 96, seed=53)
+    img = spk.image(quantize=True)[..., None]  # integer-valued
+    pyr = build_pyramid(jnp.asarray(img), 1)
+    batch = make_batch([_grid(30, 30, 50, 50)], None, 1)
+    cfg = SolverConfig(pyramid=PyramidConfig(0, 1, 1))
+
+    auto = dict(compute_level_statics(cfg, batch, pyr, "pallas"))
+    forced = dict(
+        compute_level_statics(
+            cfg, batch, pyr, "pallas", integral_override=False
+        )
+    )
+    assert all(st.parts == 1 for st in auto.values() if not st.sep)
+    assert all(st.parts == 3 for st in forced.values() if not st.sep)

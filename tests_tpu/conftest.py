@@ -8,7 +8,15 @@ covers the hardware code paths:
     python -m pytest tests_tpu/ -q
 """
 
+import os
+import sys
+
 import pytest
+
+# tests/ helpers (synthetic speckle fields) are shared with this suite
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests")
+)
 
 
 def pytest_collection_modifyitems(config, items):

@@ -152,3 +152,54 @@ def test_tight_packing_on_hardware():
         np.testing.assert_array_equal(
             np.asarray(o.err), np.asarray(ref.err)
         )
+
+
+def test_chunked_float_frames_match_per_frame_hw():
+    """ADVICE r4: a chunked sequence whose LATER frames are float-valued
+    must not keep sampling them through the parts=1 (bf16) selection the
+    integer base frame earned — the stage() guard demotes the statics.
+    On hardware, parity with the per-frame driver (which re-probes
+    integrality every frame) is the end-to-end proof."""
+    import numpy as np
+
+    from correlation_tpu.config import (
+        DeformationDescription,
+        FittingModel,
+        Interpolation,
+        PyramidConfig,
+        ReferenceImage,
+        SolverConfig,
+    )
+    from correlation_tpu.sequence import SequenceConfig, run_sequence
+    from synthetic import Speckle
+
+    spk = Speckle(128, 128, seed=55)
+    f0 = spk.image(quantize=True)[..., None]  # integer base frame
+    frames = [f0] + [
+        spk.warped_image(u=0.45 * t, v=-0.3 * t)[..., None]  # floats
+        for t in range(1, 5)
+    ]
+    assert float(np.floor(frames[1]).sum()) != float(frames[1].sum())
+
+    gx, gy = np.meshgrid(np.arange(30, 60), np.arange(30, 60),
+                         indexing="ij")
+    pts = [np.stack([gx.ravel(), gy.ravel()], -1).astype(np.float32)]
+    base = dict(
+        deformation=DeformationDescription.EULERIAN,
+        reference=ReferenceImage.FIRST,
+    )
+    solver = SolverConfig(
+        model=FittingModel.UV,
+        interpolation=Interpolation.BICUBIC,
+        pyramid=PyramidConfig(0, 1, 1),
+        precision=1e-6,
+    )
+    rc = run_sequence(
+        frames, pts, SequenceConfig(solver=solver, frame_chunk=2, **base)
+    )
+    rp = run_sequence(
+        frames, pts, SequenceConfig(solver=solver, frame_chunk=1, **base)
+    )
+    for a, b in zip(rc, rp):
+        np.testing.assert_array_equal(a.error, b.error)
+        np.testing.assert_allclose(a.params, b.params, atol=1e-4)
