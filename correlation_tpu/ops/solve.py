@@ -29,11 +29,18 @@ def _solve_spd_unrolled(a_mat: jax.Array, b_vec: jax.Array) -> jax.Array:
     # One bulk relayout instead of n^2 strided [S] element slices: each
     # a[i][j] below is then a free major-axis view.  The strided form
     # cost ~0.4 ms per LM iteration at S=4096 on TPU (profile-verified);
-    # the transpose is a single fusion.
-    a_t = jnp.transpose(a_mat, (1, 2, 0))  # [n, n, S]
+    # the transpose is a single fusion.  Elements stay [1, S]-shaped
+    # (sublane-row slices of the (8, 128)-tiled relayout): squeezing to
+    # [S] forces XLA to emit per-element slice+reduce fusions converting
+    # the 2-D tile layout to linear — profiled at ~7 ms/frame at
+    # S=4096 before this (round-5 trace, slice_reduce_fusion.*).
+    a_t = jnp.transpose(a_mat, (1, 2, 0)).reshape(n * n, -1)  # [n*n, S]
     b_t = jnp.transpose(b_vec, (1, 0))  # [n, S]
-    a = [[a_t[i, j] for j in range(n)] for i in range(n)]
-    b = [b_t[i] for i in range(n)]
+    a = [
+        [a_t[i * n + j : i * n + j + 1] for j in range(n)]
+        for i in range(n)
+    ]
+    b = [b_t[i : i + 1] for i in range(n)]
     l = [[None] * n for _ in range(n)]
     inv_d = [None] * n
     for j in range(n):
@@ -62,7 +69,7 @@ def _solve_spd_unrolled(a_mat: jax.Array, b_vec: jax.Array) -> jax.Array:
         for k in range(i + 1, n):
             s = s - l[k][i] * x[k]
         x[i] = s * inv_d[i]
-    return jnp.stack(x, axis=-1)
+    return jnp.concatenate(x, axis=0).T  # [n, S] rows -> [S, n]
 
 
 def lm_delta(
