@@ -97,7 +97,7 @@ def main():
     )
 
     num_subsets = 16384 if "--dense" in sys.argv else 4096
-    frame_chunk = 16  # SequenceConfig.frame_chunk default
+    frame_chunk = 32  # SequenceConfig.frame_chunk default
     cfg, und_pyr, def_pyr, batch, params0, raw = build_problem(num_subsets)
     # HEADLINE SEMANTICS = the reference's own defaults (mainapp.cpp:204,
     # 208): max_iters=50, precision=1e-3 — subsets converge individually

@@ -130,9 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint .npz path; resumes from it if present "
                          "and re-saves as the run advances")
-    ap.add_argument("--frame-chunk", type=int, default=16, metavar="K",
-                    help="Eulerian sequences: chain K frame solves per "
-                         "device dispatch (1 = per-frame; default 16)")
+    ap.add_argument("--frame-chunk", type=int, default=32, metavar="K",
+                    help="Eulerian/Lagrangian sequences: chain K frame "
+                         "solves per device dispatch (1 = per-frame; "
+                         "default 32)")
     ap.add_argument("--checkpoint-every", type=int, default=1,
                     metavar="N", help="save the checkpoint every N frame "
                     "pairs (default 1)")

@@ -62,7 +62,7 @@ from correlation_tpu.ops.interp import (
     precompute_field,
     sample_integer,
 )
-from correlation_tpu.ops.solve import lm_delta
+from correlation_tpu.ops.solve import lm_delta, lm_delta_rows
 
 _FLT_MAX = np.float32(np.finfo(np.float32).max)
 
@@ -137,29 +137,32 @@ class CorrelationResult(NamedTuple):
 
 
 class _PackedState(NamedTuple):
-    """LM while-loop carry, PACKED into three tensors.
+    """LM while-loop carry, PACKED and ELEMENT-MAJOR.
 
-    XLA's while-loop carry repacking re-emits every small [S] state array
-    per iteration (~0.35 ms/iter of slice_reduce fusions at S=4096 when
-    the carry held 13 separate arrays — PERF.md round-4 profile); packing
-    the per-subset scalars into one [6, S] row-major block (each field a
-    contiguous lane row) and fusing A/b into one tensor removes those
-    fusions.  All scalar fields live as f32 rows — iteration/reached/error
-    are small integers, exact in f32.
+    Two layout rules, both profile-driven (round-5 traces at S=4096):
+    (1) many small [S] carry arrays cost ~0.35 ms/iteration of XLA
+    while-carry repacking fusions — per-subset scalars pack into one
+    [6, S] block; (2) ANY [S, n] or [S, n, n] tensor with n <= 8 pads
+    its minor dim(s) to the (8, 128) tile — 21x the true bytes for
+    NP=6 — so parameters and the cached normal equations live
+    TRANSPOSED, elements on sublanes and subsets on lanes.  All scalar
+    fields are f32 rows — iteration/reached/error are small integers,
+    exact in f32.
     """
 
     # rows: 0 lam, 1 last_good_chi, 2 iteration, 3 reached, 4 active,
     #       5 error (see _SC_* constants)
     scal: jax.Array  # [6, S] f32
-    # 0 = p_cur (the reference's `model_parameters`), 1 = p_lastgood
-    pmat: jax.Array  # [2, S, NP] f32
+    # rows 0..NP-1 = p_cur^T (the reference's `model_parameters`),
+    # rows NP..2NP-1 = p_lastgood^T
+    pvec: jax.Array  # [2*NP, S] f32
     # Cached normal equations AT p_lastgood — the assembly that accepted
     # them.  The reference's diverging branch re-launches the kernel at
     # last-good to rebuild exactly these (cuda_class.cu:183-200,
     # correlation_class.cpp:484-516); assembly is deterministic, so the
     # cache reproduces that recompute bit-for-bit at zero assemblies.
-    # Rows 0..NP-1 = A, row NP = b.
-    ab: jax.Array  # [S, NP+1, NP] f32
+    # Rows i*NP+j = A[i, j]^T (row-major), rows NP*NP.. = b^T.
+    ab: jax.Array  # [NP*(NP+1), S] f32
     steps: jax.Array  # [] int32 global step counter (safety bound)
 
 
@@ -307,13 +310,19 @@ def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
         iteration = st.scal[_SC_ITER].astype(jnp.int32)
         active = st.scal[_SC_ACTIVE] > 0.0
         error_c = st.scal[_SC_ERR].astype(jnp.int32)
-        q = st.pmat[0]
-        p_lastgood_c = st.pmat[1]
-        a_lg = st.ab[:, :-1, :]
-        b_lg = st.ab[:, -1, :]
+        num_p = st.pvec.shape[0] // 2
+        q_t = st.pvec[:num_p]  # [NP, S]
+        plg_t = st.pvec[num_p:]
+        q = q_t.T  # [S, NP] — the one subset-major view (kernel input)
 
         a_mat, b_vec, chi_raw, interp_err = assemble(q)
         chi = chi_raw * scaling
+        s = b_vec.shape[0]
+        # ONE relayout of the fresh assembly into element-major rows;
+        # everything after runs on dense [rows, S] tensors.
+        ab_t = jnp.concatenate(
+            [a_mat.reshape(s, num_p * num_p), b_vec], axis=1
+        ).T  # [NP*(NP+1), S]
 
         err_now = active & interp_err
 
@@ -327,17 +336,21 @@ def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
             jnp.maximum(lam_c * lam_down, lam_min),
             jnp.minimum(lam_c * lam_up, lam_max),
         )
-        conv_c = converging[:, None]
-        a_sel = jnp.where(conv_c[..., None], a_mat, a_lg)
-        b_sel = jnp.where(conv_c, b_vec, b_lg)
-        dp = lm_delta(a_sel, b_sel, lam_next, scaling)
-        p_new = jnp.where(conv_c, q, p_lastgood_c) + dp
+        conv_r = converging[None, :]  # [1, S] row broadcast
+        ab_sel = jnp.where(conv_r, ab_t, st.ab)
+        dp_t = lm_delta_rows(
+            ab_sel[: num_p * num_p],
+            ab_sel[num_p * num_p :],
+            lam_next,
+            scaling,
+        )  # [NP, S]
+        p_new_t = jnp.where(conv_r, q_t, plg_t) + dp_t
 
         # Singular damped system -> non-finite update: the reference's
         # cuSolver failure (cuda_solver.cu:40-89).
         solver_now = (
             active & ~interp_err
-            & ~jnp.all(jnp.isfinite(dp), axis=-1)
+            & ~jnp.all(jnp.isfinite(dp_t), axis=0)
         )
         stop_err = err_now | solver_now
 
@@ -347,18 +360,15 @@ def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
         exhausted = (next_iter > cfg.max_iterations) | (lam_next >= lam_max)
         step_stop = converged | exhausted
 
-        p_cur = jnp.where(
-            stop_err[:, None],
-            q,
-            jnp.where(do_step[:, None], p_new, q),
+        p_cur_t = jnp.where(
+            stop_err[None, :],
+            q_t,
+            jnp.where(do_step[None, :], p_new_t, q_t),
         )
         accept = do_step & converging
-        p_lastgood = jnp.where(accept[:, None], q, p_lastgood_c)
-        ab_new = jnp.where(
-            accept[:, None, None],
-            jnp.concatenate([a_mat, b_vec[:, None, :]], axis=1),
-            st.ab,
-        )
+        acc_r = accept[None, :]
+        plg_new = jnp.where(acc_r, q_t, plg_t)
+        ab_new = jnp.where(acc_r, ab_t, st.ab)
         last_good_chi = jnp.where(accept, chi, last_good_chi)
         lam = jnp.where(do_step, lam_next, lam_c)
         iteration_n = jnp.where(do_step, next_iter, iteration)
@@ -391,7 +401,7 @@ def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
         )
         return _PackedState(
             scal=scal,
-            pmat=jnp.stack([p_cur, p_lastgood]),
+            pvec=jnp.concatenate([p_cur_t, plg_new], axis=0),
             ab=ab_new,
             steps=st.steps + 1,
         )
@@ -455,8 +465,8 @@ def _gather_state(st: _PackedState, unit_idx, group: int) -> _PackedState:
     ).reshape(-1)
     return _PackedState(
         scal=st.scal[:, sub_idx],
-        pmat=st.pmat[:, sub_idx],
-        ab=st.ab[sub_idx],
+        pvec=st.pvec[:, sub_idx],
+        ab=st.ab[:, sub_idx],
         steps=st.steps,
     )
 
@@ -469,8 +479,8 @@ def _scatter_state(
     ).reshape(-1)
     return _PackedState(
         scal=full.scal.at[:, sub_idx].set(part.scal),
-        pmat=full.pmat.at[:, sub_idx].set(part.pmat),
-        ab=full.ab.at[sub_idx].set(part.ab),
+        pvec=full.pvec.at[:, sub_idx].set(part.pvec),
+        ab=full.ab.at[:, sub_idx].set(part.ab),
         steps=part.steps,
     )
 
@@ -565,6 +575,7 @@ def solve_level(
     p_saved0 = params0 + dp0
 
     active0 = (~skip) & (~init_fail)
+    num_p = params0.shape[-1]
     state = _PackedState(
         scal=jnp.stack(
             [
@@ -578,13 +589,16 @@ def solve_level(
                 ).astype(f32),
             ]
         ),
-        pmat=jnp.stack(
+        pvec=jnp.concatenate(
             [
-                jnp.where(init_fail[:, None], params0, p_saved0),
-                params0,
-            ]
+                jnp.where(init_fail[:, None], params0, p_saved0).T,
+                params0.T,
+            ],
+            axis=0,
         ),
-        ab=jnp.concatenate([a_mat, b_vec[:, None, :]], axis=1),
+        ab=jnp.concatenate(
+            [a_mat.reshape(s, num_p * num_p), b_vec], axis=1
+        ).T,
         steps=jnp.int32(0),
     )
 
@@ -641,7 +655,7 @@ def solve_level(
         final = full
 
     return LevelResult(
-        params=final.pmat[0],
+        params=final.pvec[:num_p].T,
         last_good_chi=final.scal[_SC_CHI],
         reached=final.scal[_SC_REACH].astype(jnp.int32),
         error=final.scal[_SC_ERR].astype(jnp.int32),

@@ -15,32 +15,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _solve_spd_unrolled(a_mat: jax.Array, b_vec: jax.Array) -> jax.Array:
-    """Fully unrolled batched Cholesky solve for NP <= 6 systems.
+def _chol_solve_rows(a, b, n):
+    """Unrolled Cholesky solve on ELEMENT ROWS.
 
-    `jnp.linalg.cholesky` / `cho_solve` lower to generic batched LAPACK-style
-    loops that cost milliseconds on TPU for [S, 6, 6] inputs; the systems
-    here are tiny and NP is static, so the factorization unrolls into ~NP^3/3
-    elementwise [S]-vector ops on the VPU (measured ~50x faster).  Non-PD
-    inputs produce NaN/Inf exactly like the library path (rsqrt of a
-    non-positive pivot), which the LM driver treats as a diverging step.
+    a: n x n nested list of [1, S] rows (A[i][j] per subset on lanes);
+    b: list of n [1, S] rows.  Returns n [1, S] solution rows.
+
+    The factorization unrolls into ~n^3/3 elementwise [1, S]-vector ops
+    on the VPU (measured ~50x faster than jnp.linalg.cholesky's generic
+    batched loops for [S, 6, 6] inputs).  Elements stay [1, S]-shaped —
+    sublane rows of an (8, 128)-tiled element-major array: squeezing to
+    [S] forces XLA to emit per-element slice+reduce layout conversions
+    (~7 ms/frame at S=4096, round-5 profile), and [S, n, n] operands
+    pad n up to 128 lanes (21x the true bytes).  Non-PD inputs produce
+    NaN/Inf exactly like the library path (rsqrt of a non-positive
+    pivot), which the LM driver treats as a diverging step.
     """
-    n = a_mat.shape[-1]
-    # One bulk relayout instead of n^2 strided [S] element slices: each
-    # a[i][j] below is then a free major-axis view.  The strided form
-    # cost ~0.4 ms per LM iteration at S=4096 on TPU (profile-verified);
-    # the transpose is a single fusion.  Elements stay [1, S]-shaped
-    # (sublane-row slices of the (8, 128)-tiled relayout): squeezing to
-    # [S] forces XLA to emit per-element slice+reduce fusions converting
-    # the 2-D tile layout to linear — profiled at ~7 ms/frame at
-    # S=4096 before this (round-5 trace, slice_reduce_fusion.*).
-    a_t = jnp.transpose(a_mat, (1, 2, 0)).reshape(n * n, -1)  # [n*n, S]
-    b_t = jnp.transpose(b_vec, (1, 0))  # [n, S]
-    a = [
-        [a_t[i * n + j : i * n + j + 1] for j in range(n)]
-        for i in range(n)
-    ]
-    b = [b_t[i : i + 1] for i in range(n)]
     l = [[None] * n for _ in range(n)]
     inv_d = [None] * n
     for j in range(n):
@@ -69,7 +59,51 @@ def _solve_spd_unrolled(a_mat: jax.Array, b_vec: jax.Array) -> jax.Array:
         for k in range(i + 1, n):
             s = s - l[k][i] * x[k]
         x[i] = s * inv_d[i]
+    return x
+
+
+def _solve_spd_unrolled(a_mat: jax.Array, b_vec: jax.Array) -> jax.Array:
+    """Fully unrolled batched Cholesky solve for NP <= 6 [S, n, n] systems
+    (see _chol_solve_rows for the layout rationale)."""
+    n = a_mat.shape[-1]
+    a_t = jnp.transpose(a_mat, (1, 2, 0)).reshape(n * n, -1)  # [n*n, S]
+    b_t = jnp.transpose(b_vec, (1, 0))  # [n, S]
+    a = [
+        [a_t[i * n + j : i * n + j + 1] for j in range(n)]
+        for i in range(n)
+    ]
+    b = [b_t[i : i + 1] for i in range(n)]
+    x = _chol_solve_rows(a, b, n)
     return jnp.concatenate(x, axis=0).T  # [n, S] rows -> [S, n]
+
+
+def lm_delta_rows(
+    a_t: jax.Array,
+    b_t: jax.Array,
+    lam: jax.Array,
+    scaling: jax.Array,
+) -> jax.Array:
+    """Element-major lm_delta: the LM engine's hot path.
+
+    a_t: [n*n, S] row-major A elements per subset on lanes;
+    b_t: [n, S]; lam, scaling: [S].
+    Returns dp [n, S].  Identical arithmetic to lm_delta — scaling by
+    1/N, diagonal damped by (1 + lambda) — in the layout that avoids
+    every [S, n(,n)] minor-dim pad.
+    """
+    n = b_t.shape[0]
+    sc = scaling[None, :]
+    damp = (1.0 + lam)[None, :]
+    a = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            e = a_t[i * n + j : i * n + j + 1] * sc
+            if i == j:
+                e = e * damp
+            a[i][j] = e
+    b = [b_t[i : i + 1] * sc for i in range(n)]
+    x = _chol_solve_rows(a, b, n)
+    return jnp.concatenate(x, axis=0)  # [n, S]
 
 
 def lm_delta(

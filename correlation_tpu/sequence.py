@@ -46,11 +46,14 @@ class SequenceConfig:
     deformation: DeformationDescription = DeformationDescription.EULERIAN
     reference: ReferenceImage = ReferenceImage.FIRST
     error_mode: ErrorMode = ErrorMode.CONTINUE
-    # Fixed-geometry (Eulerian) sequences chain this many frame solves
-    # inside ONE device dispatch (engine.correlate_frames), amortizing the
+    # Eulerian/Lagrangian sequences chain this many frame solves inside
+    # ONE device dispatch (engine.correlate_frames), amortizing the
     # per-call dispatch latency the way the reference overlaps its frame
     # loop with prefetch (manager_class.cpp:1381-1475).  1 = per-frame.
-    frame_chunk: int = 16
+    # 32 measured best on hardware once the per-frame device time halved
+    # in round 5 (16 was within noise of 32 in round 4); larger chunks
+    # cost staged-frame HBM ((K+1) frames) and per-chunk latency.
+    frame_chunk: int = 32
 
 
 @dataclasses.dataclass
