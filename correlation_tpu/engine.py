@@ -1392,14 +1392,24 @@ def correlate_many(
         s = b.num_subsets
         rows = packed[start : start + s]
         start += s
+        mask0 = b.mask[0]
+        if isinstance(mask0, np.ndarray):
+            n_pts = mask0.sum(axis=1).astype(np.int32)
+            center = np.asarray(b.center0)
+        else:
+            # Device-resident batch: keep these lazy device values — a
+            # forced np.asarray here would add two serialized tunnel
+            # readbacks per call on top of the single packed transfer.
+            n_pts = jnp.sum(mask0, axis=-1).astype(jnp.int32)
+            center = b.center0
         out.append(
             CorrelationResult(
                 params=rows[:, :num_p],
                 chi=rows[:, num_p],
                 iterations=rows[:, num_p + 1].astype(np.int32),
                 error=rows[:, num_p + 2].astype(np.int32),
-                center=np.asarray(b.center0),
-                n_points=np.asarray(b.n_points(0)).astype(np.int32),
+                center=center,
+                n_points=n_pts,
             )
         )
     return out
