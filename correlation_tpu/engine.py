@@ -1651,60 +1651,43 @@ def compute_level_statics(
                 parts = 1
             if env_parts:
                 parts = int(env_parts)
-            # TIGHT lane packing: pack G consecutive subsets per kernel
-            # unit at an 8-lane per-subset quota (instead of one subset
-            # per 128-lane multiple) — a 40-pixel coarse-level subset
-            # then occupies 40 lanes, not 128, so the kernel's
-            # per-lane-proportional stages do ~3x less work.  Candidates
-            # are scored by the dominant per-subset cost proxy
-            # tile_w_union * lanes / G (column-weight build + selection
-            # width), with absolute caps rejecting runaway union tiles
-            # (scattered sectors).
-            gx = subsets.group_extents
-            quota = -(-int(mask.shape[1]) // 8) * 8
-            base_block = choose_block(
+            # Lane packing policy (re-tuned round 5): DEFAULT IS
+            # group=1.  Packing G subsets per kernel unit amortized the
+            # per-unit fixed cost that dominated in rounds 3-4; with the
+            # round-5 engine (element-major LM state, compaction) that
+            # fixed cost is gone and the grouped kernels' wider UNION
+            # tiles cost more than they save — un-grouping L1+L2
+            # measured +16% end-to-end at bench shape (206.5k vs 177.9k
+            # solves/s, interleaved A/B).  CORRTPU_GROUP=N forces a
+            # specific packing for hardware A/B runs (the kernel path is
+            # fully retained and parity-tested).
+            p_sub = 0
+            block = choose_block(
                 th, tw, p_pad, channels,
                 tile_parts=parts, img_bytes=img_bytes,
             )
-            # Per-subset cost proxy: the lane-proportional stages
-            # (column-weight build + selection width) ~ tile_w * lanes/G,
-            # plus a fixed per-UNIT cost (tile slice, batched-op slots)
-            # empirically worth ~_UNIT_FIX column-lane units — it is what
-            # makes grouping win even when packing saves no lanes (L1:
-            # 121-px subsets already fill their 128-lane quota, yet G=4
-            # measured ~2x faster than G=1 in r03/r04 chains).
-            _UNIT_FIX = 8192
-            p_sub = 0
-            best = (
-                (tw * p_pad + _UNIT_FIX, 1, 0, p_pad, th, tw, base_block)
-                if base_block
-                else None
-            )
-            for g_try in (16, 12, 8, 6, 4, 3, 2):
-                if gx is None or g_try not in gx[lvl]:
-                    continue
-                if s % (g_try * max(shard_divisor, 1)):
-                    continue
-                lanes = -(-(g_try * quota) // 128) * 128
-                if lanes > 1024:
-                    continue
-                uy, ux = gx[lvl][g_try]
-                th_u, tw_u = choose_tile(uy, ux, hp, wp, cfg.tile_margin)
-                if th_u > 96 or tw_u > 128:
-                    continue
-                b_u = choose_block(
-                    th_u, tw_u, lanes, channels,
-                    tile_parts=parts, img_bytes=img_bytes,
-                )
-                if not b_u:
-                    continue
-                score = (tw_u * lanes + _UNIT_FIX) / g_try
-                if best is None or score < best[0]:
-                    best = (score, g_try, quota, lanes, th_u, tw_u, b_u)
-            if best is not None:
-                _, group, p_sub, _, th, tw, block = best
-            else:
-                block = 0
+            want_g = int(env_group) if env_group else 1
+            if want_g > 1:
+                gx = subsets.group_extents
+                quota = -(-int(mask.shape[1]) // 8) * 8
+                lanes = -(-(want_g * quota) // 128) * 128
+                if (
+                    gx is not None
+                    and want_g in gx[lvl]
+                    and s % (want_g * max(shard_divisor, 1)) == 0
+                    and lanes <= 1024
+                ):
+                    uy, ux = gx[lvl][want_g]
+                    th_u, tw_u = choose_tile(
+                        uy, ux, hp, wp, cfg.tile_margin
+                    )
+                    b_u = choose_block(
+                        th_u, tw_u, lanes, channels,
+                        tile_parts=parts, img_bytes=img_bytes,
+                    )
+                    if th_u <= 96 and tw_u <= 128 and b_u:
+                        group, p_sub = want_g, quota
+                        th, tw, block = th_u, tw_u, b_u
             if block == 0:
                 # The kernel working set exceeds VMEM even at the minimum
                 # block (huge subsets/tiles): run this level via the pure-
@@ -1712,18 +1695,6 @@ def compute_level_statics(
                 use_sep = True
                 group = 1
                 p_sub = 0
-        if env_group and not sep:
-            want = int(env_group)
-            if want == 1 and group != 1:
-                # Force packing off: recompute single-subset tile/block.
-                group = 1
-                p_sub = 0
-                th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
-                p_pad = -(-int(mask.shape[1]) // 128) * 128
-                block = choose_block(
-                    th, tw, p_pad, int(def_pyramid[lvl].shape[-1]),
-                    tile_parts=parts, img_bytes=img_bytes,
-                )
         if os.environ.get("CORRTPU_BLOCK") and block:
             block = min(int(os.environ["CORRTPU_BLOCK"]), block)
         out.append(

@@ -240,3 +240,44 @@ def test_init_distributed_two_process_cpu_mesh():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"DIST_OK {i}" in out, f"worker {i} output:\n{out}"
+
+
+def test_run_sequence_lagrangian_sharded_matches_unsharded():
+    """The round-5 Lagrangian chained scan under a mesh: the extra carry
+    (per-sector integer offsets + chained centers) must shard with the
+    subset axis and reproduce the unsharded run."""
+    from correlation_tpu.config import (
+        DeformationDescription,
+        ReferenceImage,
+    )
+    from correlation_tpu.sequence import SequenceConfig, run_sequence
+
+    spk = Speckle(112, 112, seed=6)
+    frames = [
+        spk.warped_image(u=1.2 * t, v=-0.9 * t, quantize=True)[..., None]
+        for t in range(5)
+    ]
+    cfg = SequenceConfig(
+        solver=SolverConfig(
+            model=FittingModel.UV,
+            interpolation=Interpolation.BICUBIC,
+            pyramid=PyramidConfig(0, 1, 1),
+            precision=1e-5,
+        ),
+        deformation=DeformationDescription.LAGRANGIAN,
+        reference=ReferenceImage.PREVIOUS,
+        frame_chunk=3,
+    )
+    pts = [_grid(28, 28, 52, 52), _grid(56, 56, 84, 84)]
+
+    ref = run_sequence(frames, pts, cfg)
+    out = run_sequence(frames, pts, cfg, mesh=make_mesh())
+    assert len(ref) == len(out) == 4
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(a.error, b.error)
+        np.testing.assert_allclose(a.params, b.params, atol=2e-5)
+        np.testing.assert_allclose(a.und_center, b.und_center, atol=2e-5)
+    # tracking sanity: each pair recovers ~(1.2, -0.9)
+    np.testing.assert_allclose(
+        ref[-1].params, [[1.2, -0.9]] * 2, atol=0.25
+    )
