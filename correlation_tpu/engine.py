@@ -881,6 +881,11 @@ def _correlate_frames_impl(
     from correlation_tpu.ops.pyramid import build_pyramid
 
     statics_d = dict(statics) if statics else None
+    # uint8 staging: file-backed sequences upload the chunk stack as
+    # uint8 (4x fewer bytes over the host->device link, which bounds
+    # end-to-end sequence throughput on tunneled/remote hosts) and
+    # convert here — lossless for uint8-valued frames.
+    frames_stack = frames_stack.astype(jnp.float32)
     k = frames_stack.shape[0] - 1
     pyr_stack = jax.vmap(
         lambda im: build_pyramid(im, cfg.pyramid.stop)
@@ -1167,7 +1172,9 @@ def correlate_frames(
         # once and pass `statics` to skip the per-chunk device readback.
         from correlation_tpu.ops.pyramid import build_pyramid
 
-        pyr0 = build_pyramid(frames_stack[0], cfg.pyramid.stop)
+        pyr0 = build_pyramid(
+            frames_stack[0].astype(jnp.float32), cfg.pyramid.stop
+        )
         statics = compute_level_statics(
             cfg, subsets, pyr0, backend,
             shard_divisor=(mesh.devices.size if mesh is not None else 1),

@@ -609,6 +609,13 @@ def run_sequence(
 
         import jax
 
+        # uint8-valued sources (io.load_image guarantees this for files)
+        # upload chunk stacks as uint8 — 4x fewer bytes over the
+        # host->device link, which is what bounds end-to-end sequence
+        # throughput on tunneled/remote hosts; the scan casts to f32
+        # on device (lossless).
+        stage_u8 = bool(getattr(frames, "uint8_source", False))
+
         def stage(frame):
             """Build + start the async upload of a chunk's frame stack."""
             nonlocal statics, guard_p1
@@ -633,7 +640,10 @@ def run_sequence(
                 )
                 guard_p1 = False
             def_frames += [def_frames[-1]] * (k_shape - k)
-            return k, jax.device_put(np.stack([base] + def_frames))
+            stk = np.stack([base] + def_frames)
+            if stage_u8:
+                stk = stk.astype(np.uint8)
+            return k, jax.device_put(stk)
 
         # Pipelined chunk loop: chunk i+1 is DISPATCHED (seeded from chunk
         # i's on-device carry — no host round trip in the dependency
