@@ -471,3 +471,77 @@ def test_chunked_lagrangian_matches_per_frame():
         np.testing.assert_allclose(
             last, np.tile(expect, (2, 1)), atol=0.08
         )
+
+
+def test_chunked_lagrangian_checkpoint_resume(tmp_path):
+    """Interrupting a chunked Lagrangian run and resuming from its
+    checkpoint must reproduce the uninterrupted records: the resume path
+    rebuilds the batch from the ADVANCED und_points and re-seeds the
+    device offsets at zero."""
+    du, dv = 1.3, -0.8
+    frames = _frames(7, du, dv, h=128, w=128)
+    pts = [_grid_pts(34, 34, 62, 62)]
+    kw = dict(
+        deformation=DeformationDescription.LAGRANGIAN,
+        reference=ReferenceImage.PREVIOUS,
+        frame_chunk=2,
+    )
+    full = run_sequence(frames, pts, _cfg(**kw))
+
+    ck = str(tmp_path / "lagr.npz")
+    calls = {"n": 0}
+
+    def stop_after_three():
+        # cooperative-cancel once 3 records exist (mid-sequence)
+        return calls["n"] >= 1
+
+    # First leg: run with a should_stop that fires partway.
+    emitted = []
+
+    def on_frame(rec):
+        emitted.append(rec.frame)
+        if rec.frame >= 2:
+            calls["n"] = 1
+
+    part1 = run_sequence(
+        frames, pts, _cfg(**kw),
+        checkpoint_path=ck, on_frame=on_frame,
+        should_stop=lambda: calls["n"] >= 1,
+    )
+    assert 0 < len(part1) < 6
+    part2 = run_sequence(frames, pts, _cfg(**kw), checkpoint_path=ck)
+    assert len(part2) == 6
+    for a, b in zip(part2, full):
+        assert a.frame == b.frame
+        np.testing.assert_allclose(a.params, b.params, atol=5e-3)
+        np.testing.assert_allclose(a.und_center, b.und_center, atol=5e-3)
+        np.testing.assert_array_equal(a.error, b.error)
+
+
+def test_chunked_lagrangian_stop_frame_matches_per_frame():
+    """STOP_FRAME freezing inside the Lagrangian chain: a sector that
+    errors keeps its previous params AND its domain keeps advancing by
+    the frozen uv (per-frame semantics) — chunked must match."""
+    from correlation_tpu.config import ErrorMode
+
+    du, dv = 1.4, -0.9
+    frames = _frames(6, du, dv, h=128, w=128)
+    # one sector near the frame edge errors as the domain walks off;
+    # one interior sector stays healthy
+    pts = [_grid_pts(6, 6, 30, 30), _grid_pts(60, 60, 88, 88)]
+    kw = dict(
+        deformation=DeformationDescription.LAGRANGIAN,
+        reference=ReferenceImage.PREVIOUS,
+        error_mode=ErrorMode.STOP_FRAME,
+    )
+    rc = run_sequence(frames, pts, _cfg(frame_chunk=3, **kw))
+    rp = run_sequence(frames, pts, _cfg(frame_chunk=1, **kw))
+    assert len(rc) == len(rp) == 5
+    saw_error = False
+    for a, b in zip(rc, rp):
+        np.testing.assert_array_equal(a.error, b.error)
+        np.testing.assert_allclose(a.params, b.params, atol=6e-3)
+        np.testing.assert_allclose(a.chi, b.chi, rtol=2e-3, atol=1e-2)
+        np.testing.assert_array_equal(a.iterations, b.iterations)
+        saw_error = saw_error or (a.error != 0).any()
+    assert saw_error, "edge sector never errored; workload too easy"
