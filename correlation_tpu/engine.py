@@ -175,13 +175,29 @@ _SC_ERR = 5
 
 
 def _make_assemble(cfg: SolverConfig, level: LevelArrays, static):
-    """Assembly closure for one level's arrays (any backend)."""
+    """Element-major assembly closure for one level's arrays.
+
+    Returns (assemble, stride): assemble(params [S, NP]) yields
+    (ab_t, chi_raw [S], err [S] bool) with ab_t an element-major
+    [rows, S] block — A[i, j] at row stride*i + j, b[i] at row
+    stride*i + NP (stride 8: the Pallas kernel's flat [S, 64] output
+    transposed ONCE, instead of re-reading the (8, 128)-padded raw
+    buffer per extracted field) or at row NP*NP + i (stride 6: the
+    XLA backends' dense packing).
+    """
     model, interp = cfg.model, cfg.interpolation
+    num_p = cfg.num_params
+
+    def _pack6(a_mat, b_vec):
+        s = b_vec.shape[0]
+        return jnp.concatenate(
+            [a_mat.reshape(s, num_p * num_p), b_vec], axis=1
+        ).T  # [NP*(NP+1), S]
 
     if static is not None and static.sep:
 
         def assemble(params):
-            return assemble_normal_equations_tiles(
+            a_mat, b_vec, chi, err = assemble_normal_equations_tiles(
                 model,
                 interp,
                 level.def_img,
@@ -195,8 +211,11 @@ def _make_assemble(cfg: SolverConfig, level: LevelArrays, static):
                 level.center,
                 params,
             )
+            return _pack6(a_mat, b_vec), chi, err
 
-    elif level.pixdata is not None:
+        return assemble, 6
+
+    if level.pixdata is not None:
         import os
 
         from correlation_tpu.ops import assemble_v2 as v2
@@ -230,23 +249,56 @@ def _make_assemble(cfg: SolverConfig, level: LevelArrays, static):
                 ablate=_ablate,
                 p_sub=static.p_sub,
             )
-            return out.a_mat, out.b_vec, out.chi, out.err
+            flat_t = out.flat.T  # [64, S]
+            chi = flat_t[9 * num_p]
+            err = flat_t[9 * (num_p + 1)] > 0.0
+            return flat_t, chi, err
 
+        return assemble, 8
+
+    def assemble(params):
+        a_mat, b_vec, chi, err = assemble_normal_equations(
+            model,
+            interp,
+            level.def_field,
+            level.und_w,
+            level.xy,
+            level.mask,
+            level.center,
+            params,
+        )
+        return _pack6(a_mat, b_vec), chi, err
+
+    return assemble, 6
+
+
+def _ab_rows(ab, stride: int, num_p: int):
+    """A-element / b row views of an element-major ab block.
+
+    stride 8: the kernel's flat layout (A[i, j] at 8i+j, b at 8i+NP);
+    otherwise the dense packing (A row-major at NP*i+j, b after A).
+    """
+    if stride == 8:
+        a = [
+            [ab[8 * i + j : 8 * i + j + 1] for j in range(num_p)]
+            for i in range(num_p)
+        ]
+        b = [
+            ab[8 * i + num_p : 8 * i + num_p + 1] for i in range(num_p)
+        ]
     else:
-
-        def assemble(params):
-            return assemble_normal_equations(
-                model,
-                interp,
-                level.def_field,
-                level.und_w,
-                level.xy,
-                level.mask,
-                level.center,
-                params,
-            )
-
-    return assemble
+        a = [
+            [
+                ab[num_p * i + j : num_p * i + j + 1]
+                for j in range(num_p)
+            ]
+            for i in range(num_p)
+        ]
+        b = [
+            ab[num_p * num_p + i : num_p * num_p + i + 1]
+            for i in range(num_p)
+        ]
+    return a, b
 
 
 def _make_oob(cfg: SolverConfig, level: LevelArrays):
@@ -288,7 +340,7 @@ def _make_oob(cfg: SolverConfig, level: LevelArrays):
     return oob_code
 
 
-def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
+def _make_body(cfg: SolverConfig, assemble, stride, oob_code, scaling):
     """One LM iteration over a (possibly compacted) subset batch."""
     f32 = jnp.float32
     prec = f32(cfg.precision)
@@ -315,14 +367,10 @@ def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
         plg_t = st.pvec[num_p:]
         q = q_t.T  # [S, NP] — the one subset-major view (kernel input)
 
-        a_mat, b_vec, chi_raw, interp_err = assemble(q)
-        chi = chi_raw * scaling
-        s = b_vec.shape[0]
         # ONE relayout of the fresh assembly into element-major rows;
         # everything after runs on dense [rows, S] tensors.
-        ab_t = jnp.concatenate(
-            [a_mat.reshape(s, num_p * num_p), b_vec], axis=1
-        ).T  # [NP*(NP+1), S]
+        ab_t, chi_raw, interp_err = assemble(q)
+        chi = chi_raw * scaling
 
         err_now = active & interp_err
 
@@ -338,12 +386,8 @@ def _make_body(cfg: SolverConfig, assemble, oob_code, scaling):
         )
         conv_r = converging[None, :]  # [1, S] row broadcast
         ab_sel = jnp.where(conv_r, ab_t, st.ab)
-        dp_t = lm_delta_rows(
-            ab_sel[: num_p * num_p],
-            ab_sel[num_p * num_p :],
-            lam_next,
-            scaling,
-        )  # [NP, S]
+        a_rows, b_rows = _ab_rows(ab_sel, stride, num_p)
+        dp_t = lm_delta_rows(a_rows, b_rows, lam_next, scaling)  # [NP, S]
         p_new_t = jnp.where(conv_r, q_t, plg_t) + dp_t
 
         # Singular damped system -> non-finite update: the reference's
@@ -539,7 +583,7 @@ def solve_level(
     s = params0.shape[0]
     f32 = jnp.float32
 
-    assemble = _make_assemble(cfg, level, static)
+    assemble, stride = _make_assemble(cfg, level, static)
     oob_code = _make_oob(cfg, level)
 
     # scaling = 1/N for numerical precision (correlation_class.cpp:402)
@@ -547,10 +591,11 @@ def solve_level(
     scaling = jnp.where(n_ok, 1.0 / jnp.maximum(level.n_points, 1.0), 0.0)
 
     # ---- initial assembly at the initial guess ---------------------------
-    a_mat, b_vec, chi_raw, interp_err = assemble(params0)
+    ab0, chi_raw, interp_err = assemble(params0)
     chi0 = chi_raw * scaling
     lam0 = jnp.full((s,), cfg.lambda_init, f32)
-    dp0 = lm_delta(a_mat, b_vec, lam0, scaling)
+    a_rows0, b_rows0 = _ab_rows(ab0, stride, params0.shape[-1])
+    dp0 = lm_delta_rows(a_rows0, b_rows0, lam0, scaling).T  # [S, NP]
     # A singular/non-PD damped system (all-constant intensities, empty
     # gradients) yields a non-finite update: the reference's cuSolver
     # failure (cuda_solver.cu:40-89, cuda_class.cu:314).
@@ -596,14 +641,12 @@ def solve_level(
             ],
             axis=0,
         ),
-        ab=jnp.concatenate(
-            [a_mat.reshape(s, num_p * num_p), b_vec], axis=1
-        ).T,
+        ab=ab0,
         steps=jnp.int32(0),
     )
 
     max_steps = cfg.max_iterations + 2
-    body = _make_body(cfg, assemble, oob_code, scaling)
+    body = _make_body(cfg, assemble, stride, oob_code, scaling)
 
     pallas = level.pixdata is not None
     group = static.group if pallas else 1
@@ -640,9 +683,11 @@ def solve_level(
                 1.0 / jnp.maximum(lvl_i.n_points, 1.0),
                 0.0,
             )
+            asm_i, stride_i = _make_assemble(cfg, lvl_i, static_stage)
             body_i = _make_body(
                 cfg,
-                _make_assemble(cfg, lvl_i, static_stage),
+                asm_i,
+                stride_i,
                 _make_oob(cfg, lvl_i),
                 scaling_i,
             )

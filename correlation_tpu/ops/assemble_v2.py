@@ -68,6 +68,14 @@ class FusedAssembly(NamedTuple):
     b_vec: jax.Array  # [S, NP]
     chi: jax.Array  # [S]
     err: jax.Array  # [S] bool
+    # Flat view of the raw [S, 8, 8] kernel output ([S, 64]; element
+    # (i, j) at column 8i+j, b at 8i+NP, chi at 9*NP, err flag at
+    # 9*(NP+1)).  The LM engine consumes THIS (transposed to element-major
+    # rows): the a_mat/b_vec/chi/err field extractions above each
+    # re-read the (8, 128)-padded 16 MB output buffer per iteration,
+    # while one reshape pass compacts it 8x first.  Unused fields are
+    # DCE'd under jit, so both access styles stay free.
+    flat: jax.Array | None = None
 
 
 def _cubic_taps(t):
@@ -1234,4 +1242,4 @@ def fused_assemble(
     b_vec = out[:s, :num_p, num_p]
     chi = out[:s, num_p, num_p]
     err = out[:s, num_p + 1, num_p + 1] > 0.0
-    return FusedAssembly(a_mat, b_vec, chi, err)
+    return FusedAssembly(a_mat, b_vec, chi, err, out[:s].reshape(s, 64))

@@ -78,30 +78,30 @@ def _solve_spd_unrolled(a_mat: jax.Array, b_vec: jax.Array) -> jax.Array:
 
 
 def lm_delta_rows(
-    a_t: jax.Array,
-    b_t: jax.Array,
+    a_rows: list,
+    b_rows: list,
     lam: jax.Array,
     scaling: jax.Array,
 ) -> jax.Array:
     """Element-major lm_delta: the LM engine's hot path.
 
-    a_t: [n*n, S] row-major A elements per subset on lanes;
-    b_t: [n, S]; lam, scaling: [S].
+    a_rows: n x n nested list of [1, S] A-element rows (subsets on
+    lanes); b_rows: list of n [1, S] rows; lam, scaling: [S].
     Returns dp [n, S].  Identical arithmetic to lm_delta — scaling by
     1/N, diagonal damped by (1 + lambda) — in the layout that avoids
     every [S, n(,n)] minor-dim pad.
     """
-    n = b_t.shape[0]
+    n = len(b_rows)
     sc = scaling[None, :]
     damp = (1.0 + lam)[None, :]
     a = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(n):
-            e = a_t[i * n + j : i * n + j + 1] * sc
+            e = a_rows[i][j] * sc
             if i == j:
                 e = e * damp
             a[i][j] = e
-    b = [b_t[i : i + 1] * sc for i in range(n)]
+    b = [b_rows[i] * sc for i in range(n)]
     x = _chol_solve_rows(a, b, n)
     return jnp.concatenate(x, axis=0)  # [n, S]
 
