@@ -173,6 +173,13 @@ def main(argv: list[str] | None = None) -> int:
         reference=_REF[args.reference],
         error_mode=_ERRMODE[args.error_mode],
         frame_chunk=args.frame_chunk,
+        # Lagrangian point overlays need each frame's (moved) undeformed
+        # point lists — snapshot them into the records.
+        record_points=(
+            args.plot_points
+            and args.plot_dir is not None
+            and _DEFORM[args.deformation] != DeformationDescription.EULERIAN
+        ),
     )
     stop = solver.pyramid.stop
 
@@ -326,19 +333,11 @@ def main(argv: list[str] | None = None) -> int:
             def __len__(self):
                 return len(args.images)
 
+        # Eulerian runs warp the (stationary) frame-0 point lists; the
+        # Lagrangian descriptions move the undeformed points every frame,
+        # so cfg.record_points snapshotted each frame's lists into its
+        # record and save_sequence_overlays prefers those (ADVICE r4).
         plot_points = args.plot_points
-        if plot_points and cfg.deformation != DeformationDescription.EULERIAN:
-            # The overlay warps the FRAME-0 point lists with each record's
-            # params; under Lagrangian descriptions the undeformed points
-            # move every frame, so those pixels would be wrong (ADVICE
-            # r4).  Contour overlays (tracked per frame) remain valid.
-            print(
-                "--plot-points ignored: only valid for --deformation "
-                "eulerian (the frame-0 point lists move under Lagrangian "
-                "descriptions); contour overlays are still drawn",
-                file=sys.stderr,
-            )
-            plot_points = False
         paths = viz.save_sequence_overlays(
             _Reload(), records, args.plot_dir,
             point_lists=point_lists if plot_points else None,

@@ -54,6 +54,13 @@ class SequenceConfig:
     # in round 5 (16 was within noise of 32 in round 4); larger chunks
     # cost staged-frame HBM ((K+1) frames) and per-chunk latency.
     frame_chunk: int = 32
+    # Snapshot each frame's per-sector undeformed point lists into its
+    # FrameRecord (und_points).  Off by default: under the (default)
+    # Eulerian description the domain never moves, so the frame-0 lists
+    # describe every frame; under the Lagrangian descriptions the domain
+    # follows the material and consumers that need the per-frame point
+    # sets (e.g. --plot-points overlays) opt in here.
+    record_points: bool = False
 
 
 @dataclasses.dataclass
@@ -87,6 +94,10 @@ class FrameRecord:
     def_e: np.ndarray | None = None  # [S]
     und_global_e: float = 0.0
     def_global_e: float = 0.0
+    # Per-sector undeformed points used for THIS frame's solve (only when
+    # SequenceConfig.record_points; the Lagrangian domain updates move the
+    # points between frames — manager_class.cpp:2018-2310).
+    und_points: list | None = None
 
 
 @dataclasses.dataclass
@@ -525,6 +536,11 @@ def run_sequence(
                 def_e=state.def_e.copy(),
                 und_global_e=state.und_global_e,
                 def_global_e=state.def_global_e,
+                und_points=(
+                    [p.copy() for p in state.und_points]
+                    if cfg.record_points
+                    else None
+                ),
             )
         )
         if on_frame is not None:

@@ -17,10 +17,11 @@ import numpy as np
 from correlation_tpu.sequence import FrameRecord, _TrackState
 
 # v1 = round-3 payload; v2 (round 5) adds state_chi/state_iterations,
-# und_e/def_e, and per-record strain fields.  Readers accept both —
-# the v1 migration is the key-guarded defaults below (ADVICE r4).
-_FORMAT_VERSION = 2
-_READABLE_VERSIONS = {1, 2}
+# und_e/def_e, and per-record strain fields; v3 adds the optional
+# per-record und_points lists (SequenceConfig.record_points).  Readers
+# accept all — older payloads migrate via the key-guarded defaults below.
+_FORMAT_VERSION = 3
+_READABLE_VERSIONS = {1, 2, 3}
 
 
 def save_checkpoint(
@@ -72,7 +73,7 @@ def save_checkpoint(
     for r, rec in enumerate(records):
         for f in dataclasses.fields(FrameRecord):
             v = getattr(rec, f.name)
-            if f.name in ("und_contours", "def_contours"):
+            if f.name in ("und_contours", "def_contours", "und_points"):
                 if v is not None:
                     for ci, c in enumerate(v):
                         payload[f"rec{r}_{f.name}_{ci}"] = np.asarray(c)
@@ -144,7 +145,7 @@ def load_checkpoint(path: str):
     for r in range(meta["num_records"]):
         kwargs = {}
         for f in dataclasses.fields(FrameRecord):
-            if f.name in ("und_contours", "def_contours"):
+            if f.name in ("und_contours", "def_contours", "und_points"):
                 keys = [f"rec{r}_{f.name}_{ci}" for ci in range(num_sectors)]
                 if keys[0] in data:
                     kwargs[f.name] = [data[k] for k in keys if k in data]

@@ -178,17 +178,18 @@ def save_sequence_overlays(
     plot_inside_points analog, cuda_polygon.cu:49-90,
     manager_class.cpp:606-612).  Under the (default) Eulerian description
     the undeformed points are stationary, so the frame-0 lists apply to
-    every pair.
+    every pair; a record carrying its own und_points (Lagrangian runs
+    with SequenceConfig.record_points) overrides them — the domain
+    follows the material, so each frame warps THAT frame's point lists.
     """
     os.makedirs(out_dir, exist_ok=True)
     written = []
     if records:
         rec0 = records[0]
         path = os.path.join(out_dir, f"{prefix}_und.png")
+        lists0 = rec0.und_points if rec0.und_points is not None else point_lists
         und_dots = (
-            np.concatenate(point_lists, axis=0)
-            if point_lists is not None
-            else None
+            np.concatenate(lists0, axis=0) if lists0 is not None else None
         )
         render_overlay(
             frames[0], rec0.und_contours, rec0.und_center, dots=und_dots
@@ -198,11 +199,12 @@ def save_sequence_overlays(
         img = frames[rec.frame + 1]
         path = os.path.join(out_dir, f"{prefix}_{rec.frame + 1:05d}.png")
         dots = None
-        if point_lists is not None and model is not None:
+        lists = rec.und_points if rec.und_points is not None else point_lists
+        if lists is not None and model is not None:
             from correlation_tpu.sequence import warped_inside_points
 
             warped = warped_inside_points(
-                model, rec.params, point_lists, rec.und_center
+                model, rec.params, lists, rec.und_center
             )
             dots = np.concatenate(warped, axis=0)
         render_overlay(

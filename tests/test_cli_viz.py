@@ -288,3 +288,53 @@ def test_cli_backend_and_tuning_flags(tmp_path):
         ]
     )
     assert rc == 0
+
+def test_cli_lagrangian_plot_points(tmp_path):
+    """--plot-points under --deformation lagrangian draws each frame's
+    MOVED point lists (ADVICE r4: the frame-0 lists are wrong once the
+    domain follows the material): the drawn dot cloud tracks the
+    accumulated material displacement frame over frame."""
+    from PIL import Image
+
+    from correlation_tpu.cli import main
+
+    du, dv = 1.3, -0.8
+    frames = _frames(5, du, dv, h=128, w=128)
+    paths = []
+    for t, f in enumerate(frames):
+        p = str(tmp_path / f"l{t}.png")
+        Image.fromarray(f[..., 0].astype(np.uint8)).save(p)
+        paths.append(p)
+
+    plot_dir = str(tmp_path / "plots")
+    rc = main(
+        paths
+        + [
+            "--domain", "rect", "--rect", "34", "34", "62", "62",
+            "--model", "uv", "--pyramid", "0", "1", "1",
+            "--deformation", "lagrangian", "--reference", "previous",
+            "--plot-dir", plot_dir, "--plot-points",
+            "--report", str(tmp_path / "lagr.csv"),
+        ]
+    )
+    assert rc == 0
+    import os
+
+    overlays = sorted(os.listdir(plot_dir))
+    assert len(overlays) == 5  # und + 4 pairs
+    dot = np.array([64, 128, 255])
+
+    def dot_centroid(name):
+        img = np.asarray(Image.open(os.path.join(plot_dir, name)))
+        ys, xs = np.nonzero((img == dot).all(axis=-1))
+        assert len(xs) > 200, f"{name}: missing point overlay"
+        return np.array([xs.mean(), ys.mean()])
+
+    # overlay_00001 dots sit ~one step past the frame-0 domain center;
+    # each further overlay advances by about (du, dv)
+    c = [dot_centroid(f"overlay_{t:05d}.png") for t in range(1, 5)]
+    for t in range(1, 4):
+        step = c[t] - c[t - 1]
+        np.testing.assert_allclose(step, [du, dv], atol=1.1)
+    total = c[3] - c[0]
+    np.testing.assert_allclose(total, [3 * du, 3 * dv], atol=1.2)
