@@ -96,8 +96,14 @@ def main():
         resolve_backend,
     )
 
+    from correlation_tpu.sequence import SequenceConfig
+
     num_subsets = 16384 if "--dense" in sys.argv else 4096
-    frame_chunk = 32  # SequenceConfig.frame_chunk default
+    # Track the production default so the headline measures what a real
+    # run_sequence dispatches.
+    frame_chunk = SequenceConfig().frame_chunk
+    if "--frame-chunk" in sys.argv:  # A/B forensics (PERF.md)
+        frame_chunk = int(sys.argv[sys.argv.index("--frame-chunk") + 1])
     cfg, und_pyr, def_pyr, batch, params0, raw = build_problem(num_subsets)
     # HEADLINE SEMANTICS = the reference's own defaults (mainapp.cpp:204,
     # 208): max_iters=50, precision=1e-3 — subsets converge individually

@@ -130,10 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint", type=str, default=None,
                     help="checkpoint .npz path; resumes from it if present "
                          "and re-saves as the run advances")
-    ap.add_argument("--frame-chunk", type=int, default=32, metavar="K",
+    ap.add_argument("--frame-chunk", type=int, default=None, metavar="K",
                     help="Eulerian/Lagrangian sequences: chain K frame "
                          "solves per device dispatch (1 = per-frame; "
-                         "default 32)")
+                         "default: SequenceConfig.frame_chunk)")
     ap.add_argument("--checkpoint-every", type=int, default=1,
                     metavar="N", help="save the checkpoint every N frame "
                     "pairs (default 1)")
@@ -167,12 +167,16 @@ def main(argv: list[str] | None = None) -> int:
         tile_margin=args.tile_margin,
         compact_stages=args.compact_stages,
     )
+    seq_kwargs = (
+        {} if args.frame_chunk is None
+        else {"frame_chunk": args.frame_chunk}
+    )
     cfg = SequenceConfig(
         solver=solver,
         deformation=_DEFORM[args.deformation],
         reference=_REF[args.reference],
         error_mode=_ERRMODE[args.error_mode],
-        frame_chunk=args.frame_chunk,
+        **seq_kwargs,
         # Lagrangian point overlays need each frame's (moved) undeformed
         # point lists — snapshot them into the records.
         record_points=(

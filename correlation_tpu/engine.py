@@ -1641,6 +1641,15 @@ def compute_level_statics(
     gram = os.environ.get("CORRTPU_GRAM", "unit")
     slack = bool(int(os.environ.get("CORRTPU_SLACK", "0")))
     sel = os.environ.get("CORRTPU_SEL", "batched")
+    # Mixed-backend forensics: force the listed pyramid levels onto the
+    # pure-XLA separable-tiles backend while the rest stay on the Pallas
+    # kernel (e.g. CORRTPU_SEP_LEVELS=1,2) — per-level A/B of kernel
+    # fixed cost vs XLA at small tile sizes.
+    sep_levels = {
+        int(x)
+        for x in os.environ.get("CORRTPU_SEP_LEVELS", "").split(",")
+        if x.strip()
+    }
     if not sep and integral_override is None:
         _prime_integral_cache(
             def_pyramid[lvl]
@@ -1667,14 +1676,14 @@ def compute_level_statics(
         h, w = int(def_pyramid[lvl].shape[0]), int(def_pyramid[lvl].shape[1])
         hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
         th, tw = choose_tile(ext_y, ext_x, hp, wp, cfg.tile_margin)
-        use_sep = sep
+        use_sep = sep or lvl in sep_levels
         block = 0
         parts = 3
         group = 1
         p_sub = 0
         tsrc = "dma"
         img_bytes = 0
-        if not sep:
+        if not use_sep:
             from correlation_tpu.ops.assemble_v2 import (
                 IMG_VMEM_BUDGET,
                 prepared_img_bytes,

@@ -50,10 +50,12 @@ class SequenceConfig:
     # ONE device dispatch (engine.correlate_frames), amortizing the
     # per-call dispatch latency the way the reference overlaps its frame
     # loop with prefetch (manager_class.cpp:1381-1475).  1 = per-frame.
-    # 32 measured best on hardware once the per-frame device time halved
-    # in round 5 (16 was within noise of 32 in round 4); larger chunks
-    # cost staged-frame HBM ((K+1) frames) and per-chunk latency.
-    frame_chunk: int = 32
+    # Hardware A/B at the round-5 engine (interleaved, session v5e):
+    # 250k / 267k / 275k solves/s at K=32/64/128 — 64 takes most of the
+    # re-amortization gain; 128 kept non-default (+2.5% for double the
+    # staged-frame HBM ((K+1) frames) and per-chunk result latency).
+    # Lower --frame-chunk for very large frames or streaming consumers.
+    frame_chunk: int = 64
     # Snapshot each frame's per-sector undeformed point lists into its
     # FrameRecord (und_points).  Off by default: under the (default)
     # Eulerian description the domain never moves, so the frame-0 lists
