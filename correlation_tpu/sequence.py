@@ -907,12 +907,13 @@ def run_sequence_from_files(
     mark of simultaneously cached decoded frames."""
     from correlation_tpu.io import FramePrefetcher
 
-    # The chunked Eulerian driver stages frame_chunk frames at a time, so
-    # decode that far ahead (per-frame drivers still work with any depth).
+    # The chunked drivers (Eulerian AND Lagrangian since round 5) stage
+    # frame_chunk frames at a time, so decode that far ahead (per-frame
+    # drivers still work with any depth).
     ahead = max(
         2,
         cfg.frame_chunk + 1
-        if cfg.deformation == DeformationDescription.EULERIAN
+        if cfg.deformation != DeformationDescription.STRICT_LAGRANGIAN
         else 2,
     )
     prefetcher = FramePrefetcher(paths, monochrome=monochrome, ahead=ahead)
